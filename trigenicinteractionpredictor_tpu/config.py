@@ -1,0 +1,136 @@
+"""Frozen experiment configuration (reference layer L6).
+
+The reference drives everything through getopt-style CLI flags (data file,
+K, #iterations, #samples, likelihood-check frequency, output dir — SURVEY.md
+§2 L6 / §3.1 "CLI / arg parsing").  Here the same knobs — plus the ones the
+TPU re-design adds (mesh shape, kernel backend, padding, dtypes) — live in a
+single frozen dataclass that is serialized into every checkpoint and report
+for reproducibility (SURVEY.md §6 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Kuzmin-style loader knobs (SURVEY.md §1.3, §8.4 risk 5).
+
+    Every label-semantics cutoff is explicit so that the chosen values are
+    recorded in reports; silently diverging from the reference's dataset
+    filtering is the main parity risk.
+    """
+
+    path: Optional[str] = None
+    # Label binarization: interaction iff p_value < p_cutoff and the adjusted
+    # (tau) score passes the magnitude test.
+    p_cutoff: float = 0.05
+    tau_cutoff: float = 0.08
+    # 'abs'      -> |tau| > tau_cutoff counts as interaction
+    # 'negative' -> tau < -tau_cutoff (Kuzmin's signal is dominated by
+    #               negative interactions)
+    tau_mode: str = "abs"
+    # Row filter on the "Combined mutant type" column.
+    mutant_type: str = "trigenic"
+    # Strip allele suffixes from strain gene tokens ("ydl227c-1" -> "YDL227C").
+    strip_allele_suffix: bool = True
+    # Deduplicate repeated (sorted triplet) observations, keeping the first.
+    deduplicate: bool = False
+    # Number of rating classes (binary interaction by default).
+    n_ratings: int = 2
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """EM loop knobs (reference: -k, -i, -s, likelihood frequency flags)."""
+
+    k: int = 10                      # latent groups K
+    sweeps: int = 400                # max EM sweeps per restart
+    samples: int = 1                 # independent random restarts (ensemble)
+    likelihood_freq: int = 10        # compute L every this many sweeps
+    tol: float = 0.0                 # early stop when |dL| < tol (0 = never)
+    seed: int = 0
+    # Simplex initialization concentration (Dirichlet alpha); 1.0 = uniform.
+    init_alpha: float = 1.0
+    checkpoint_every: int = 0        # sweeps between checkpoints (0 = off)
+
+
+@dataclass(frozen=True)
+class SplitConfig:
+    """Train/test splitting (reference: 80/20 fold and 5-fold CV)."""
+
+    test_fraction: float = 0.2
+    n_folds: int = 1                 # 1 = single 80/20 split; >1 = k-fold CV
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape for the data-parallel EM sweep (SURVEY.md §3.3).
+
+    The triplet list shards over the ``data`` axis; theta and p are
+    replicated; sufficient statistics psum once per sweep.  Restarts vmap
+    within a chip and may also shard over the ``ensemble`` axis.
+    """
+
+    data: int = 1                    # number of shards along the triplet axis
+    ensemble: int = 1                # number of shards along the restart axis
+
+    @property
+    def n_devices(self) -> int:
+        return self.data * self.ensemble
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Compute-path selection and padding."""
+
+    backend: str = "auto"            # 'jnp' | 'pallas' | 'auto'
+    # Pad the triplet batch length to a multiple of this (shard/tile friendly).
+    batch_pad_multiple: int = 512
+    # Pallas tile size along the triplet axis.
+    tile_b: int = 1024
+    param_dtype: str = "float32"
+    # Accumulate the log-likelihood in float64 on CPU parity runs.
+    highp_likelihood: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    split: SplitConfig = field(default_factory=SplitConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    out_dir: str = "runs/default"
+
+    # ------------------------------------------------------------------
+    # (De)serialization — configs ride along in checkpoints and reports.
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return cls(
+            data=DataConfig(**d.get("data", {})),
+            train=TrainConfig(**d.get("train", {})),
+            split=SplitConfig(**d.get("split", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            engine=EngineConfig(**d.get("engine", {})),
+            out_dir=d.get("out_dir", "runs/default"),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

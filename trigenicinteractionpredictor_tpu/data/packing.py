@@ -1,0 +1,167 @@
+"""Packed triplet arrays — the device-resident dataset format (layer L1).
+
+The reference keeps the dataset as Python dicts and lists of triplets
+(SURVEY.md §2 L1).  The TPU-native format is three dense arrays, padded to a
+static shape so every jit compiles once:
+
+- ``triplets``: int32[N, 3] — dense gene ids per observation
+- ``ratings``:  int32[N]    — rating class in [0, R)
+- ``weights``:  float32[N]  — 1.0 for real rows, 0.0 for padding
+
+plus host-side metadata (gene name table, per-gene degrees).  Gene ids are
+content-derived (sorted gene names), not first-seen order, so folds are
+reproducible across hosts (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _round_up(n: int, multiple: int) -> int:
+    if multiple <= 1:
+        return n
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class TripletDataset:
+    """A packed, optionally padded set of (gene, gene, gene, rating) rows."""
+
+    triplets: np.ndarray          # int32 [N, 3]
+    ratings: np.ndarray           # int32 [N]
+    weights: np.ndarray           # float32 [N]; 0.0 marks padding rows
+    n_genes: int
+    n_ratings: int
+    gene_names: Optional[List[str]] = None
+
+    def __post_init__(self):
+        self.triplets = np.asarray(self.triplets, dtype=np.int32)
+        self.ratings = np.asarray(self.ratings, dtype=np.int32)
+        if self.weights is None:
+            self.weights = np.ones(len(self.ratings), dtype=np.float32)
+        self.weights = np.asarray(self.weights, dtype=np.float32)
+        assert self.triplets.ndim == 2 and self.triplets.shape[1] == 3
+        assert len(self.ratings) == len(self.triplets) == len(self.weights)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_rows(self) -> int:
+        """Padded row count (the static shape)."""
+        return int(self.triplets.shape[0])
+
+    @property
+    def n_real(self) -> int:
+        """Number of real (unpadded) observations."""
+        return int(np.sum(self.weights > 0))
+
+    def degrees(self) -> np.ndarray:
+        """Per-gene degree d(g): number of real rows containing g.
+
+        Used to normalize theta rows after the M-step; computed over the
+        *training* rows of the active split only (SURVEY.md §8.4 risk 6),
+        so call this on the already-selected training subset.
+        """
+        real = self.weights > 0
+        return np.bincount(
+            self.triplets[real].reshape(-1), minlength=self.n_genes
+        ).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def select(self, idx: np.ndarray) -> "TripletDataset":
+        """Row subset (real rows only; drops padding)."""
+        return dataclasses.replace(
+            self,
+            triplets=self.triplets[idx],
+            ratings=self.ratings[idx],
+            weights=self.weights[idx],
+        )
+
+    def pad_to(self, multiple: int) -> "TripletDataset":
+        """Pad rows to a multiple with weight-0 rows (gene 0, rating 0).
+
+        Padding rows contribute nothing anywhere because every sum in the
+        EM engine is weighted.
+        """
+        n = self.n_rows
+        target = _round_up(max(n, 1), multiple)
+        if target == n:
+            return self
+        pad = target - n
+        return dataclasses.replace(
+            self,
+            triplets=np.concatenate(
+                [self.triplets, np.zeros((pad, 3), dtype=np.int32)]
+            ),
+            ratings=np.concatenate([self.ratings, np.zeros(pad, dtype=np.int32)]),
+            weights=np.concatenate([self.weights, np.zeros(pad, dtype=np.float32)]),
+        )
+
+    def sorted_by_gene(self, position: int = 0) -> "TripletDataset":
+        """Stable sort rows by the gene id at a position.
+
+        Makes the segment-sum in the M-step contiguous (SURVEY.md §8.4
+        risk 1).  Padding rows sort wherever gene 0 lands, which is fine —
+        they are weight-0.
+        """
+        order = np.argsort(self.triplets[:, position], kind="stable")
+        return self.select(order)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_rows(
+        rows: Sequence[Tuple[str, str, str, int]],
+        n_ratings: int = 2,
+        gene_names: Optional[Sequence[str]] = None,
+    ) -> "TripletDataset":
+        """Build from (gene_a, gene_b, gene_c, rating) name rows.
+
+        Ids are assigned by sorted gene name (content-derived, deterministic
+        across hosts and row orders).
+        """
+        if gene_names is None:
+            names = sorted({g for row in rows for g in row[:3]})
+        else:
+            names = list(gene_names)
+        index = {g: i for i, g in enumerate(names)}
+        trip = np.array(
+            [[index[a], index[b], index[c]] for a, b, c, _ in rows], dtype=np.int32
+        ).reshape(-1, 3)
+        ratings = np.array([r for _, _, _, r in rows], dtype=np.int32)
+        return TripletDataset(
+            triplets=trip,
+            ratings=ratings,
+            weights=np.ones(len(rows), dtype=np.float32),
+            n_genes=len(names),
+            n_ratings=n_ratings,
+            gene_names=names,
+        )
+
+    # ------------------------------------------------------------------
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            triplets=self.triplets,
+            ratings=self.ratings,
+            weights=self.weights,
+            n_genes=np.int32(self.n_genes),
+            n_ratings=np.int32(self.n_ratings),
+            gene_names=np.array(self.gene_names or [], dtype=object),
+        )
+
+    @staticmethod
+    def load_npz(path: str) -> "TripletDataset":
+        with np.load(path, allow_pickle=True) as z:
+            names = [str(x) for x in z["gene_names"]] or None
+            return TripletDataset(
+                triplets=z["triplets"],
+                ratings=z["ratings"],
+                weights=z["weights"],
+                n_genes=int(z["n_genes"]),
+                n_ratings=int(z["n_ratings"]),
+                gene_names=names,
+            )

@@ -1,0 +1,193 @@
+"""Factorized EM sweep for the tensorial MMSBM (reference layer L3, the hot
+core).
+
+The reference implements one EM sweep as a per-triplet Python triple loop
+over (k, l, m) — O(N * K^3 * R) interpreted operations (SURVEY.md §2 L3,
+§4.1).  This module is the TPU-native replacement: the whole sweep is a
+handful of MXU-shaped matmuls plus gathers and a segment-sum, and the
+per-triplet K^3 responsibility tensor omega is **never materialized**
+(SURVEY.md §8.3).
+
+Math (SURVEY.md §1.2), for one observation t = (i, j, e, r):
+
+    omega_t(k,l,m) = theta[i,k] theta[j,l] theta[e,m] p[k,l,m,r] / D_t
+    D_t            = sum_{klm} theta[i,k] theta[j,l] theta[e,m] p[k,l,m,r]
+
+    theta_hat[g,k] propto sum over t containing g of omega_t's marginal at
+                   g's position, normalized by the gene degree d(g)
+    p_hat[k,l,m,r] propto sum_{t: r_t = r} omega_t(k,l,m), normalized over r
+    L              = sum_t log D_t
+
+Factorization used here (all per-batch tensors are O(B * K^2) at most):
+
+    T[b,k,l]   = sum_m  theta3[b,m] p[k,l,m,r_b]      (matmul [B,K]x[K,K^2 R])
+    D[b]       = sum_kl theta1[b,k] theta2[b,l] T[b,k,l]
+    A1[b,k]    = sum_l  theta2[b,l] T[b,k,l]
+    A2[b,l]    = sum_k  theta1[b,k] T[b,k,l]
+    A3[b,m]    = sum_kl theta1 theta2 p[k,l,m,r_b]    (matmul [B,K^2]x[K^2,K R])
+    s_pos[b,:] = theta_pos * A_pos * w_b / D_b        (position marginals)
+    theta_hat  = segment_sum(s_pos streams, gene ids) (scatter-add)
+    p_hat      = p * ( (W w/D)^T @ (theta3 x onehot(r)) )  (matmul [K^2,B]x[B,K R])
+    L          = sum_b w_b log D_b
+
+Padding rows carry weight 0 and contribute nothing (weights multiply every
+per-triplet term).  All matmuls run at HIGHEST precision by default: K is
+small, so the MXU is nowhere near FLOP-bound and f32 accuracy is free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+
+_EPS = 1e-30
+
+
+class Batch(NamedTuple):
+    """Device-side view of a packed triplet shard (see data/packing.py)."""
+
+    triplets: jax.Array   # int32 [B, 3]
+    ratings: jax.Array    # int32 [B]
+    weights: jax.Array    # float32 [B]; 0 marks padding
+
+
+class SweepStats(NamedTuple):
+    """Unnormalized sufficient statistics of one EM sweep.
+
+    These are the only cross-shard quantities: under data parallelism each
+    shard computes its own SweepStats and a single psum merges them
+    (SURVEY.md §3.4).
+    """
+
+    theta_hat: jax.Array  # f32 [G, K]
+    p_hat: jax.Array      # f32 [K, K, K, R]
+    loglik: jax.Array     # f32 scalar — likelihood of the *pre-update* state
+
+
+def _gather_thetas(theta: jax.Array, triplets: jax.Array):
+    th1 = jnp.take(theta, triplets[:, 0], axis=0)
+    th2 = jnp.take(theta, triplets[:, 1], axis=0)
+    th3 = jnp.take(theta, triplets[:, 2], axis=0)
+    return th1, th2, th3
+
+
+def em_sufficient_stats(
+    theta: jax.Array,
+    p: jax.Array,
+    batch: Batch,
+    precision=jax.lax.Precision.HIGHEST,
+) -> SweepStats:
+    """E-step + M-accumulate fused over one batch (no normalization).
+
+    Replaces the body of the reference's ``make_iteration()`` up to the
+    normalize/swap tail (SURVEY.md §4.2).
+    """
+    G, K = theta.shape
+    R = p.shape[-1]
+    B = batch.triplets.shape[0]
+    r = batch.ratings
+    w = batch.weights.astype(theta.dtype)
+
+    th1, th2, th3 = _gather_thetas(theta, batch.triplets)
+
+    # T_all[b,k,l,r] = sum_m theta3[b,m] p[k,l,m,r]
+    p_m = jnp.transpose(p, (2, 0, 1, 3)).reshape(K, K * K * R)
+    T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, K, R)
+    T = jnp.take_along_axis(T_all, r[:, None, None, None], axis=3)[..., 0]
+
+    # Denominator D_b and position-1/2 marginal helpers from T.
+    Tth2 = jnp.einsum("bkl,bl->bk", T, th2, precision=precision)   # = A1
+    D = jnp.einsum("bk,bk->b", th1, Tth2, precision=precision)
+    A1 = Tth2
+    A2 = jnp.einsum("bkl,bk->bl", T, th1, precision=precision)
+
+    # Position-3 marginal helper via the W @ p matmul.
+    W = (th1[:, :, None] * th2[:, None, :]).reshape(B, K * K)
+    A3_all = jnp.matmul(
+        W, p.reshape(K * K, K * R), precision=precision
+    ).reshape(B, K, R)
+    A3 = jnp.take_along_axis(A3_all, r[:, None, None], axis=2)[..., 0]
+
+    scale = w / (D + _EPS)                                         # [B]
+
+    # theta sufficient statistics: three position streams scatter-added by
+    # gene id.  Padding rows have scale 0.
+    s1 = th1 * A1 * scale[:, None]
+    s2 = th2 * A2 * scale[:, None]
+    s3 = th3 * A3 * scale[:, None]
+    seg_ids = batch.triplets.T.reshape(-1)                         # [3B]
+    seg_vals = jnp.concatenate([s1, s2, s3], axis=0)               # [3B, K]
+    theta_hat = jax.ops.segment_sum(seg_vals, seg_ids, num_segments=G)
+
+    # p sufficient statistics: one [K^2, B] x [B, K*R] matmul.
+    V = W * scale[:, None]                                         # [B, K^2]
+    onehot_r = jax.nn.one_hot(r, R, dtype=theta.dtype)             # [B, R]
+    th3r = (th3[:, :, None] * onehot_r[:, None, :]).reshape(B, K * R)
+    S = jnp.matmul(V.T, th3r, precision=precision)                 # [K^2, K*R]
+    p_hat = p * S.reshape(K, K, K, R)
+
+    loglik = jnp.sum(w * jnp.log(D + _EPS))
+    return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=loglik)
+
+
+def normalize_from_stats(
+    state: ModelState,
+    stats: SweepStats,
+    degrees: jax.Array,
+) -> ModelState:
+    """M-step normalization (the tail of the reference's sweep).
+
+    theta rows divide by the gene's *training* degree d(g) — genes absent
+    from the training split keep their old row (SURVEY.md §8.4 risk 6).
+    p cells normalize over ratings — cells with no mass keep their old value.
+    """
+    deg = degrees.astype(state.theta.dtype)
+    theta_new = stats.theta_hat / jnp.maximum(deg, 1.0)[:, None]
+    theta = jnp.where((deg > 0)[:, None], theta_new, state.theta)
+
+    p_mass = jnp.sum(stats.p_hat, axis=-1, keepdims=True)
+    p = jnp.where(p_mass > _EPS, stats.p_hat / (p_mass + _EPS), state.p)
+    return ModelState(theta=theta, p=p)
+
+
+def em_step(
+    state: ModelState,
+    batch: Batch,
+    degrees: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[ModelState, jax.Array]:
+    """One full EM sweep.  Returns (new_state, loglik of the *old* state).
+
+    Single-device version; the sharded version wraps
+    :func:`em_sufficient_stats` in shard_map and psums the SweepStats
+    (parallel/sharded_em.py).
+    """
+    stats = em_sufficient_stats(state.theta, state.p, batch, precision=precision)
+    return normalize_from_stats(state, stats, degrees), stats.loglik
+
+
+def log_likelihood(
+    state: ModelState,
+    batch: Batch,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Weighted sum_b w_b log P(r_b | i, j, e) under the current state.
+
+    The per-triplet probability is exactly the E-step denominator D_b
+    (SURVEY.md §8.3), so this shares the T-matmul shape with the sweep.
+    """
+    theta, p = state.theta, state.p
+    G, K = theta.shape
+    R = p.shape[-1]
+    B = batch.triplets.shape[0]
+    th1, th2, th3 = _gather_thetas(theta, batch.triplets)
+    p_m = jnp.transpose(p, (2, 0, 1, 3)).reshape(K, K * K * R)
+    T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, K, R)
+    T = jnp.take_along_axis(T_all, batch.ratings[:, None, None, None], axis=3)[..., 0]
+    D = jnp.einsum("bk,bkl,bl->b", th1, T, th2, precision=precision)
+    w = batch.weights.astype(theta.dtype)
+    return jnp.sum(w * jnp.log(D + _EPS))

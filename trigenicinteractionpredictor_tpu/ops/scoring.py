@@ -1,0 +1,64 @@
+"""Held-out triplet scoring (reference layer L5, SURVEY.md §4.4).
+
+The reference's evaluation pass recomputes, for each held-out triplet, the
+full rating distribution P(r | i, j, e) from the converged (theta, p), then
+averages the interaction probability across restart samples before ranking.
+On device this is the same factorized contraction as the E-step denominator,
+evaluated for all R ratings at once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+from trigenicinteractionpredictor_tpu.ops.em import Batch, _gather_thetas
+
+
+def predict_proba(
+    state: ModelState,
+    triplets: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """P(r | i, j, e) for every row: f32[B, R].
+
+    score[b, r] = sum_klm theta1[b,k] theta2[b,l] theta3[b,m] p[k,l,m,r]
+    computed as W[B,K^2] @ p[K^2, K*R] contracted with theta3 — O(B K^2)
+    memory, MXU-shaped.
+    """
+    theta, p = state.theta, state.p
+    K = theta.shape[-1]
+    R = p.shape[-1]
+    B = triplets.shape[0]
+    th1, th2, th3 = _gather_thetas(theta, triplets)
+    W = (th1[:, :, None] * th2[:, None, :]).reshape(B, K * K)
+    A3_all = jnp.matmul(W, p.reshape(K * K, K * R), precision=precision)
+    return jnp.einsum(
+        "bmr,bm->br", A3_all.reshape(B, K, R), th3, precision=precision
+    )
+
+
+def predict_interaction(
+    state: ModelState,
+    triplets: jax.Array,
+    interact_rating: int = 1,
+) -> jax.Array:
+    """P(r = interact | i, j, e): the ranking score for AUC.  f32[B]."""
+    return predict_proba(state, triplets)[:, interact_rating]
+
+
+def ensemble_predict_interaction(
+    states: ModelState,
+    triplets: jax.Array,
+    interact_rating: int = 1,
+) -> jax.Array:
+    """Average P(interact) over a restart ensemble (leading axis on state).
+
+    Mirrors the reference's sample-averaging protocol (SURVEY.md §1.2):
+    probabilities are averaged over S independent restarts before ranking.
+    """
+    scores = jax.vmap(
+        lambda st: predict_interaction(st, triplets, interact_rating)
+    )(states)
+    return jnp.mean(scores, axis=0)
