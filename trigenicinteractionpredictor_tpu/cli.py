@@ -1,0 +1,277 @@
+"""Command-line entry points (reference layer L6).
+
+The reference is driven as ``python src/TrigenicInteractionPredictor.py
+-f data.tsv -k 10 -i 400 -s 10`` (SURVEY.md §2 L6).  The equivalents here:
+
+    python -m trigenicinteractionpredictor_tpu fit   -f data.tsv -k 10 -i 400 -s 10 -o runs/fit
+    python -m trigenicinteractionpredictor_tpu cv    -f data.tsv -k 10 --folds 5
+    python -m trigenicinteractionpredictor_tpu sweep -f data.tsv --k-grid 5,10,25,50
+    python -m trigenicinteractionpredictor_tpu predict -f data.tsv --checkpoint runs/fit/model.ckpt.npz
+    python -m trigenicinteractionpredictor_tpu synth -o synth.npz -n 100000 -g 1000
+    python -m trigenicinteractionpredictor_tpu bench
+
+``-f`` accepts either a Kuzmin-style TSV or a packed ``.npz``
+(data/packing.py).  Every run writes its Config, JSONL events, a resumable
+checkpoint, reference-style text dumps, and a JSON report into ``-o``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_dataset(path: str, cfg):
+    from trigenicinteractionpredictor_tpu.data.kuzmin import load_kuzmin_tsv
+    from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
+
+    if path.endswith(".npz"):
+        return TripletDataset.load_npz(path)
+    return load_kuzmin_tsv(path, cfg.data)
+
+
+def _base_parser(sub: argparse.ArgumentParser) -> None:
+    sub.add_argument("-f", "--file", required=True, help="TSV or packed .npz dataset")
+    sub.add_argument("-k", type=int, default=10, help="latent groups K")
+    sub.add_argument("-i", "--iterations", type=int, default=400, help="EM sweeps")
+    sub.add_argument("-s", "--samples", type=int, default=1, help="random restarts")
+    sub.add_argument("-n", "--freq", type=int, default=10, help="likelihood check frequency")
+    sub.add_argument("--tol", type=float, default=0.0, help="early-stop |dL| tolerance")
+    sub.add_argument("--seed", type=int, default=0)
+    sub.add_argument("-o", "--out", default=None, help="output directory")
+    sub.add_argument("--mesh-data", type=int, default=None, help="data-axis size (default: all devices)")
+    sub.add_argument("--mesh-ensemble", type=int, default=1)
+    sub.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    sub.add_argument("--checkpoint-every", type=int, default=0)
+    sub.add_argument("--test-fraction", type=float, default=0.2)
+    sub.add_argument("--tau-mode", choices=["abs", "negative"], default="abs")
+    sub.add_argument("--p-cutoff", type=float, default=0.05)
+    sub.add_argument("--tau-cutoff", type=float, default=0.08)
+
+
+def _make_config(args, n_folds: int = 1):
+    import jax
+
+    from trigenicinteractionpredictor_tpu.config import (
+        Config,
+        DataConfig,
+        EngineConfig,
+        MeshConfig,
+        SplitConfig,
+        TrainConfig,
+    )
+
+    n_dev = len(jax.devices())
+    ens = args.mesh_ensemble
+    data = args.mesh_data if args.mesh_data is not None else max(n_dev // ens, 1)
+    return Config(
+        data=DataConfig(
+            path=args.file,
+            p_cutoff=args.p_cutoff,
+            tau_cutoff=args.tau_cutoff,
+            tau_mode=args.tau_mode,
+        ),
+        train=TrainConfig(
+            k=args.k,
+            sweeps=args.iterations,
+            samples=args.samples,
+            likelihood_freq=args.freq,
+            tol=args.tol,
+            seed=args.seed,
+            checkpoint_every=args.checkpoint_every,
+        ),
+        split=SplitConfig(
+            test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed
+        ),
+        mesh=MeshConfig(data=data, ensemble=ens),
+        engine=EngineConfig(backend=args.backend),
+        out_dir=args.out or "runs/run",
+    )
+
+
+def _resolve_stats_fn(backend: str):
+    if backend == "pallas":
+        from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+            pallas_em_sufficient_stats,
+        )
+
+        return pallas_em_sufficient_stats
+    return None  # jnp default
+
+
+def cmd_fit(args) -> int:
+    from trigenicinteractionpredictor_tpu.data.splits import train_test_split
+    from trigenicinteractionpredictor_tpu.eval import evaluate
+    from trigenicinteractionpredictor_tpu.train.checkpoint import write_text_dump
+    from trigenicinteractionpredictor_tpu.train.trainer import fit
+    from trigenicinteractionpredictor_tpu.utils.logging import JsonlLogger
+
+    cfg = _make_config(args)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(os.path.join(cfg.out_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    ds = _load_dataset(args.file, cfg)
+    train, test = train_test_split(ds, cfg.split.test_fraction, cfg.split.seed)
+    logger = JsonlLogger(os.path.join(cfg.out_dir, "events.jsonl"))
+    result = fit(
+        cfg,
+        train,
+        logger=logger,
+        checkpoint_path=os.path.join(cfg.out_dir, "model.ckpt.npz"),
+        resume=args.resume,
+        stats_fn=_resolve_stats_fn(args.backend),
+    )
+    report = evaluate(result.states, test, result.final_loglik)
+    write_text_dump(
+        os.path.join(cfg.out_dir, "params"),
+        result.states,
+        result.ll_trace,
+        gene_names=ds.gene_names,
+    )
+    out = {
+        "auc": report.auc,
+        "average_precision": report.average_precision,
+        "best_sample_auc": report.best_sample_auc,
+        "ll_best": float(result.final_loglik.max()),
+        "sweeps": result.sweeps_run,
+        "triplets_per_sec": result.triplets_per_sec,
+    }
+    with open(os.path.join(cfg.out_dir, "report.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+def _run_grid(args, k_grid: List[int], n_folds: int) -> int:
+    import jax
+
+    from trigenicinteractionpredictor_tpu.train.driver import merge_report, run_units
+
+    cfg = _make_config(args, n_folds=n_folds)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(os.path.join(cfg.out_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    ds = _load_dataset(args.file, cfg)
+    run_units(cfg, ds, k_grid=k_grid, stats_fn=_resolve_stats_fn(args.backend))
+    if jax.process_index() == 0:
+        report = merge_report(cfg.out_dir)
+        print(json.dumps(report["summary"]))
+    return 0
+
+
+def cmd_cv(args) -> int:
+    return _run_grid(args, k_grid=[args.k], n_folds=args.folds)
+
+
+def cmd_sweep(args) -> int:
+    k_grid = [int(x) for x in args.k_grid.split(",")]
+    return _run_grid(args, k_grid=k_grid, n_folds=args.folds)
+
+
+def cmd_predict(args) -> int:
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+    from trigenicinteractionpredictor_tpu.ops.scoring import (
+        ensemble_predict_interaction,
+    )
+    from trigenicinteractionpredictor_tpu.train.checkpoint import load_checkpoint
+
+    cfg = _make_config(args)
+    ds = _load_dataset(args.file, cfg)
+    ck = load_checkpoint(args.checkpoint)
+    states = ModelState(
+        theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
+    )
+    scores = np.asarray(
+        ensemble_predict_interaction(states, jnp.asarray(ds.triplets))
+    )
+    out = args.out or "predictions.tsv"
+    names = ds.gene_names or [str(i) for i in range(ds.n_genes)]
+    with open(out, "w") as fh:
+        fh.write("gene_a\tgene_b\tgene_c\tp_interaction\n")
+        for (a, b, c), s in zip(ds.triplets, scores):
+            fh.write(f"{names[a]}\t{names[b]}\t{names[c]}\t{s:.6f}\n")
+    print(json.dumps({"n": len(scores), "out": out}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+
+    ds, theta, p = sample_synthetic_dataset(
+        args.n, args.genes, args.k, n_ratings=args.ratings, seed=args.seed
+    )
+    ds.save_npz(args.out)
+    if args.ground_truth:
+        np.savez(args.ground_truth, theta=theta, p=p)
+    print(
+        json.dumps(
+            {"out": args.out, "n": ds.n_rows, "genes": ds.n_genes, "k": args.k}
+        )
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.call([sys.executable, os.path.join(repo_root, "bench.py")])
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="trigenicinteractionpredictor_tpu",
+        description="TPU-native MMSBM engine for trigenic interaction prediction",
+    )
+    subs = parser.add_subparsers(dest="cmd", required=True)
+
+    p_fit = subs.add_parser("fit", help="train on one 80/20 split and evaluate")
+    _base_parser(p_fit)
+    p_fit.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p_fit.set_defaults(fn=cmd_fit)
+
+    p_cv = subs.add_parser("cv", help="k-fold cross-validation at fixed K")
+    _base_parser(p_cv)
+    p_cv.add_argument("--folds", type=int, default=5)
+    p_cv.set_defaults(fn=cmd_cv)
+
+    p_sw = subs.add_parser("sweep", help="K-grid sweep with best-L selection")
+    _base_parser(p_sw)
+    p_sw.add_argument("--k-grid", default="5,10,25,50")
+    p_sw.add_argument("--folds", type=int, default=1)
+    p_sw.set_defaults(fn=cmd_sweep)
+
+    p_pr = subs.add_parser("predict", help="score triplets from a checkpoint")
+    _base_parser(p_pr)
+    p_pr.add_argument("--checkpoint", required=True)
+    p_pr.set_defaults(fn=cmd_predict)
+
+    p_sy = subs.add_parser("synth", help="generate a synthetic packed dataset")
+    p_sy.add_argument("-o", "--out", required=True)
+    p_sy.add_argument("-n", type=int, default=100_000)
+    p_sy.add_argument("-g", "--genes", type=int, default=1000)
+    p_sy.add_argument("-k", type=int, default=10)
+    p_sy.add_argument("--ratings", type=int, default=2)
+    p_sy.add_argument("--seed", type=int, default=0)
+    p_sy.add_argument("--ground-truth", default=None, help=".npz for (theta*, p*)")
+    p_sy.set_defaults(fn=cmd_synth)
+
+    p_be = subs.add_parser("bench", help="run the repo benchmark")
+    p_be.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

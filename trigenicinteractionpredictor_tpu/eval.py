@@ -1,0 +1,87 @@
+"""Held-out evaluation (reference layer L5, SURVEY.md §4.4).
+
+The reference evaluates in a separate pass over dumped text files: score
+each held-out triplet from each sample's (theta, p), average the interaction
+probability across samples, rank, compute AUC.  Here the whole pass is a few
+jitted device calls on the packed test split.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
+from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+from trigenicinteractionpredictor_tpu.ops.metrics import auc, average_precision
+from trigenicinteractionpredictor_tpu.ops.scoring import (
+    ensemble_predict_interaction,
+    predict_interaction,
+)
+
+
+@dataclass
+class EvalReport:
+    auc: float
+    average_precision: float
+    best_sample_auc: float
+    n_test: int
+    n_pos: int
+
+    def to_dict(self) -> dict:
+        return {
+            "auc": self.auc,
+            "average_precision": self.average_precision,
+            "best_sample_auc": self.best_sample_auc,
+            "n_test": self.n_test,
+            "n_pos": self.n_pos,
+        }
+
+
+def evaluate(
+    states: ModelState,
+    test_ds: TripletDataset,
+    final_loglik: Optional[np.ndarray] = None,
+    interact_rating: int = 1,
+) -> EvalReport:
+    """Score a restart-stacked state ensemble on a held-out split.
+
+    - ensemble score: mean P(interact) over samples (the reference's
+      sampling protocol, SURVEY.md §1.2);
+    - best-sample score: the single restart with the highest final training
+      likelihood (the reference's model-selection rule, BASELINE config 4) —
+      requires ``final_loglik``.
+    """
+    trips = jnp.asarray(test_ds.triplets)
+    labels = jnp.asarray(test_ds.ratings)
+    weights = jnp.asarray(test_ds.weights)
+    states_j = ModelState(
+        theta=jnp.asarray(states.theta), p=jnp.asarray(states.p)
+    )
+
+    ens_scores = ensemble_predict_interaction(states_j, trips, interact_rating)
+    ens_auc = float(auc(ens_scores, labels, weights))
+    ens_ap = float(average_precision(ens_scores, labels, weights))
+
+    if final_loglik is not None:
+        best = int(np.argmax(final_loglik))
+        best_state = ModelState(
+            theta=states_j.theta[best], p=states_j.p[best]
+        )
+        best_scores = predict_interaction(best_state, trips, interact_rating)
+        best_auc = float(auc(best_scores, labels, weights))
+    else:
+        best_auc = ens_auc
+
+    real = np.asarray(test_ds.weights) > 0
+    return EvalReport(
+        auc=ens_auc,
+        average_precision=ens_ap,
+        best_sample_auc=best_auc,
+        n_test=int(real.sum()),
+        n_pos=int(np.asarray(test_ds.ratings)[real].sum()),
+    )

@@ -1,0 +1,124 @@
+"""Data-parallel EM sweep over a device mesh (SURVEY.md §3.3, §3.4, §4.1).
+
+The reference runs one serial sweep per process; here the triplet shard on
+each device computes its local :class:`SweepStats` and a single ``psum``
+over the ``data`` axis merges them — the only cross-chip communication in
+the whole algorithm (~50 KB at K=10, one round per sweep, riding ICI within
+a slice).  Restart ensembles ride along as a vmapped leading axis on the
+state, sharded over the ``ensemble`` mesh axis, with zero communication.
+
+Replicated-parameter invariant: every device along ``data`` holds identical
+(theta, p) after each step because it normalizes the same psum'd stats —
+tested bitwise-ish in tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+from trigenicinteractionpredictor_tpu.ops.em import (
+    Batch,
+    SweepStats,
+    em_sufficient_stats,
+    log_likelihood,
+    normalize_from_stats,
+)
+from trigenicinteractionpredictor_tpu.parallel.mesh import DATA_AXIS, ENSEMBLE_AXIS
+
+
+def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """Place a host batch with rows sharded over the ``data`` axis.
+
+    Rows must already be padded to a multiple of the data-axis size
+    (data/packing.py pad_to); padding rows are weight-0 and inert.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return Batch(
+        triplets=jax.device_put(batch.triplets, sh),
+        ratings=jax.device_put(batch.ratings, sh),
+        weights=jax.device_put(batch.weights, sh),
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the whole mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_ensemble(mesh: Mesh, states: ModelState) -> ModelState:
+    """Place a restart-stacked state (leading S axis) over ``ensemble``."""
+    sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), states)
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    precision=jax.lax.Precision.HIGHEST,
+    stats_fn: Callable = em_sufficient_stats,
+) -> Callable[[ModelState, Batch, jax.Array], Tuple[ModelState, jax.Array]]:
+    """Build the jitted multi-device EM step.
+
+    Signature of the returned function::
+
+        states, loglik = step(states, batch, degrees)
+
+    - ``states``: ModelState with leading restart axis [S, ...], sharded over
+      ``ensemble`` (S must divide the ensemble-axis size).
+    - ``batch``: rows sharded over ``data``.
+    - ``degrees``: replicated f32/int32 [G].
+    - returns per-restart loglik [S] of the pre-update states.
+
+    ``stats_fn`` lets the Pallas kernel path slot in for the jnp stats
+    computation without touching the communication structure.
+    """
+
+    def local_step(states: ModelState, batch: Batch, degrees: jax.Array):
+        # Per-device: local restarts x local triplet shard.
+        def one_restart(state: ModelState) -> SweepStats:
+            return stats_fn(state.theta, state.p, batch, precision=precision)
+
+        stats = jax.vmap(one_restart)(states)
+        # The only cross-chip point: merge shard-local sufficient stats.
+        stats = jax.lax.psum(stats, DATA_AXIS)
+        new_states = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
+            states, stats, degrees
+        )
+        return new_states, stats.loglik
+
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(ENSEMBLE_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(shmapped, donate_argnums=0)
+
+
+def make_sharded_likelihood(
+    mesh: Mesh,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Callable[[ModelState, Batch], jax.Array]:
+    """Jitted per-restart log-likelihood over the sharded batch: f32[S]."""
+
+    def local_ll(states: ModelState, batch: Batch):
+        ll = jax.vmap(lambda st: log_likelihood(st, batch, precision=precision))(
+            states
+        )
+        return jax.lax.psum(ll, DATA_AXIS)
+
+    shmapped = jax.shard_map(
+        local_ll,
+        mesh=mesh,
+        in_specs=(P(ENSEMBLE_AXIS), P(DATA_AXIS)),
+        out_specs=P(ENSEMBLE_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)

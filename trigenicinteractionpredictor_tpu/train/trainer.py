@@ -1,0 +1,209 @@
+"""The training loop (reference layer L4, SURVEY.md §4.1).
+
+Reference structure: ``for sample in range(S): init; for it in range(T):
+make_iteration(); if it % freq == 0: compute_likelihood()`` — serial
+restarts, serial sweeps, interpreted hot loop.
+
+TPU-native structure: all S restarts are a vmapped leading axis inside ONE
+jitted sharded step (compiled once); the host loop only dispatches sweeps,
+reads the per-restart likelihood every ``freq`` sweeps (the step returns the
+pre-update L for free — no extra pass), early-stops on |dL| < tol, and
+checkpoints.  The restart axis can additionally shard over the mesh's
+``ensemble`` axis; the triplet batch shards over ``data``.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from trigenicinteractionpredictor_tpu.config import Config
+from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
+from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState, init_state
+from trigenicinteractionpredictor_tpu.ops.em import Batch
+from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
+from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+    make_sharded_likelihood,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+    shard_ensemble,
+)
+from trigenicinteractionpredictor_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from trigenicinteractionpredictor_tpu.utils.logging import JsonlLogger, get_logger
+
+
+@dataclass
+class FitResult:
+    """Converged ensemble of one (fold, K) work unit."""
+
+    states: ModelState            # restart-stacked [S, ...]
+    final_loglik: np.ndarray      # f64 [S] — L of the final states
+    ll_trace: np.ndarray          # f64 [n_checks, S]
+    sweeps_run: int
+    triplets_per_sec: float
+    wall_seconds: float
+
+    @property
+    def best_sample(self) -> int:
+        return int(np.argmax(self.final_loglik))
+
+    def best_state(self) -> ModelState:
+        i = self.best_sample
+        return ModelState(
+            theta=np.asarray(self.states.theta)[i],
+            p=np.asarray(self.states.p)[i],
+        )
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // math.gcd(a, b)
+
+
+def fit(
+    cfg: Config,
+    train_ds: TripletDataset,
+    mesh: Optional[Mesh] = None,
+    logger: Optional[JsonlLogger] = None,
+    resume: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    stats_fn=None,
+) -> FitResult:
+    """Fit cfg.train.samples restarts of the MMSBM on a training split.
+
+    ``resume`` — path to a checkpoint to continue from (same shapes).
+    ``stats_fn`` — override the sufficient-stats kernel (Pallas path).
+    """
+    log = logger or get_logger()
+    tcfg = cfg.train
+    if mesh is None:
+        mesh = make_mesh(data=cfg.mesh.data, ensemble=cfg.mesh.ensemble)
+    data_size = mesh.shape["data"]
+    ens_size = mesh.shape["ensemble"]
+    S = tcfg.samples
+    if S % ens_size != 0:
+        raise ValueError(f"samples={S} must divide by ensemble axis {ens_size}")
+
+    # Pad rows so every data shard is equal-length; weight-0 rows are inert.
+    pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
+    ds = train_ds.pad_to(pad)
+    degrees = jnp.asarray(ds.degrees())
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+
+    # Restart ensemble init (or resume).
+    start_sweep = 0
+    ll_rows: List[np.ndarray] = []
+    if resume is not None:
+        ck = load_checkpoint(resume)
+        states = ModelState(
+            theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
+        )
+        start_sweep = ck["sweep"]
+        ll_rows = [row for row in np.atleast_2d(ck["ll_trace"])] if ck["ll_trace"].size else []
+        log.log("resume", path=resume, sweep=start_sweep)
+    else:
+        keys = jax.random.split(jax.random.key(tcfg.seed), S)
+        states = jax.vmap(
+            lambda k: init_state(
+                k, ds.n_genes, tcfg.k, ds.n_ratings, alpha=tcfg.init_alpha
+            )
+        )(keys)
+
+    step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
+    step = make_sharded_train_step(mesh, **step_kwargs)
+    ll_fn = make_sharded_likelihood(mesh)
+
+    states = shard_ensemble(mesh, states)
+    batch_sh = shard_batch(mesh, batch)
+    deg_sh = replicate(mesh, degrees)
+
+    config_json = cfg.to_json()
+    freq = max(tcfg.likelihood_freq, 1)
+    # The CPU backend's in-process collectives deadlock (rendezvous timeout)
+    # when many sharded steps are in flight on virtual devices — throttle
+    # dispatch depth there.  Real TPUs keep async pipelining.
+    throttle = jax.devices()[0].platform == "cpu" and mesh.size > 1
+    prev_check: Optional[np.ndarray] = None
+    t0 = time.perf_counter()
+    sweep = start_sweep
+    stop = False
+    while sweep < tcfg.sweeps and not stop:
+        states, ll = step(states, batch_sh, deg_sh)
+        if throttle:
+            jax.block_until_ready(ll)
+        sweep += 1
+        if sweep % freq == 0 or sweep == tcfg.sweeps:
+            ll_np = np.asarray(ll, dtype=np.float64)  # L of pre-update state
+            ll_rows.append(ll_np)
+            dt = time.perf_counter() - t0
+            log.log(
+                "sweep",
+                sweep=sweep,
+                ll_best=float(ll_np.max()),
+                ll_mean=float(ll_np.mean()),
+                triplets_per_sec=(sweep - start_sweep) * ds.n_real / max(dt, 1e-9),
+            )
+            if tcfg.tol > 0 and prev_check is not None:
+                if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
+                    stop = True
+                    log.log("early_stop", sweep=sweep, tol=tcfg.tol)
+            prev_check = ll_np
+        if (
+            checkpoint_path
+            and tcfg.checkpoint_every > 0
+            and sweep % tcfg.checkpoint_every == 0
+        ):
+            save_checkpoint(
+                checkpoint_path,
+                ModelState(
+                    theta=np.asarray(states.theta), p=np.asarray(states.p)
+                ),
+                sweep,
+                np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+                config_json=config_json,
+            )
+
+    jax.block_until_ready(states.theta)
+    wall = time.perf_counter() - t0
+    final_ll = np.asarray(ll_fn(states, batch_sh), dtype=np.float64)
+    n_sweeps = sweep - start_sweep
+    tps = n_sweeps * ds.n_real / max(wall, 1e-9)
+    log.log(
+        "fit_done",
+        sweeps=n_sweeps,
+        wall_s=wall,
+        triplets_per_sec=tps,
+        ll_best=float(final_ll.max()),
+    )
+    if checkpoint_path:
+        save_checkpoint(
+            checkpoint_path,
+            ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
+            sweep,
+            np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+            config_json=config_json,
+        )
+    return FitResult(
+        states=ModelState(
+            theta=np.asarray(states.theta), p=np.asarray(states.p)
+        ),
+        final_loglik=final_ll,
+        ll_trace=np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+        sweeps_run=sweep,
+        triplets_per_sec=tps,
+        wall_seconds=wall,
+    )
