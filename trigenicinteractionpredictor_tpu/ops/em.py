@@ -46,6 +46,18 @@ from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
 
 _EPS = 1e-30
 
+# Fusion control.  The experimental axon TPU backend miscompiles this graph
+# when elementwise producers (gathers, outer products, one-hot multiplies)
+# are fused into matmul operands at large batch sizes: outputs come back
+# ~100x too small, as if only a slice of the contraction ran (verified
+# against the CPU backend at N=131072; every op is correct in isolation).
+# optimization_barrier pins the natural schedule — materialize the [B,K]
+# operands, then matmul — which is what a hand-written kernel would do
+# anyway, and costs nothing measurable on CPU or TPU.  The Pallas kernel
+# path (ops/pallas_em.py) sidesteps XLA fusion entirely; a runtime
+# integrity check (utils/integrity.py) guards against the bug moving.
+_barrier = jax.lax.optimization_barrier
+
 
 class Batch(NamedTuple):
     """Device-side view of a packed triplet shard (see data/packing.py)."""
@@ -75,11 +87,40 @@ def _gather_thetas(theta: jax.Array, triplets: jax.Array):
     return th1, th2, th3
 
 
+def _scatter_add_rows(
+    vals3: Tuple[jax.Array, jax.Array, jax.Array],
+    triplets: jax.Array,
+    n_segments: int,
+    impl: str = "auto",
+) -> jax.Array:
+    """sum_b vals[pos][b] into rows [G, K] by gene id, per position.
+
+    TPUs serialize random scatters — measured 634 ms vs 24 ms per sweep at
+    N=131k on the axon chip — so the accelerator path expresses the
+    scatter-add as three one-hot matmuls (MXU-shaped [G, B] x [B, K]; XLA
+    fuses the one-hot so the [B, G] operand is never materialized).  CPUs
+    do the opposite: native scatter is fast, dense one-hot matmul is not.
+    """
+    if impl == "auto":
+        impl = "segment_sum" if jax.default_backend() == "cpu" else "onehot"
+    if impl == "segment_sum":
+        seg_ids = triplets.T.reshape(-1)
+        seg_vals = jnp.concatenate(vals3, axis=0)
+        return jax.ops.segment_sum(seg_vals, seg_ids, num_segments=n_segments)
+    acc = None
+    for pos in range(3):
+        oh = jax.nn.one_hot(triplets[:, pos], n_segments, dtype=vals3[pos].dtype)
+        term = jnp.matmul(oh.T, vals3[pos], precision=jax.lax.Precision.DEFAULT)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def em_sufficient_stats(
     theta: jax.Array,
     p: jax.Array,
     batch: Batch,
     precision=jax.lax.Precision.HIGHEST,
+    scatter_impl: str = "auto",
 ) -> SweepStats:
     """E-step + M-accumulate fused over one batch (no normalization).
 
@@ -92,12 +133,14 @@ def em_sufficient_stats(
     r = batch.ratings
     w = batch.weights.astype(theta.dtype)
 
-    th1, th2, th3 = _gather_thetas(theta, batch.triplets)
+    th1, th2, th3 = _barrier(_gather_thetas(theta, batch.triplets))
 
     # T_all[b,k,l,r] = sum_m theta3[b,m] p[k,l,m,r]
     p_m = jnp.transpose(p, (2, 0, 1, 3)).reshape(K, K * K * R)
     T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, K, R)
-    T = jnp.take_along_axis(T_all, r[:, None, None, None], axis=3)[..., 0]
+    T = _barrier(
+        jnp.take_along_axis(T_all, r[:, None, None, None], axis=3)[..., 0]
+    )
 
     # Denominator D_b and position-1/2 marginal helpers from T.
     Tth2 = jnp.einsum("bkl,bl->bk", T, th2, precision=precision)   # = A1
@@ -111,6 +154,7 @@ def em_sufficient_stats(
         W, p.reshape(K * K, K * R), precision=precision
     ).reshape(B, K, R)
     A3 = jnp.take_along_axis(A3_all, r[:, None, None], axis=2)[..., 0]
+    A1, A2, A3, D, W = _barrier((A1, A2, A3, D, W))
 
     scale = w / (D + _EPS)                                         # [B]
 
@@ -119,14 +163,13 @@ def em_sufficient_stats(
     s1 = th1 * A1 * scale[:, None]
     s2 = th2 * A2 * scale[:, None]
     s3 = th3 * A3 * scale[:, None]
-    seg_ids = batch.triplets.T.reshape(-1)                         # [3B]
-    seg_vals = jnp.concatenate([s1, s2, s3], axis=0)               # [3B, K]
-    theta_hat = jax.ops.segment_sum(seg_vals, seg_ids, num_segments=G)
+    theta_hat = _scatter_add_rows((s1, s2, s3), batch.triplets, G, scatter_impl)
 
     # p sufficient statistics: one [K^2, B] x [B, K*R] matmul.
     V = W * scale[:, None]                                         # [B, K^2]
     onehot_r = jax.nn.one_hot(r, R, dtype=theta.dtype)             # [B, R]
     th3r = (th3[:, :, None] * onehot_r[:, None, :]).reshape(B, K * R)
+    V, th3r = _barrier((V, th3r))
     S = jnp.matmul(V.T, th3r, precision=precision)                 # [K^2, K*R]
     p_hat = p * S.reshape(K, K, K, R)
 
@@ -184,10 +227,12 @@ def log_likelihood(
     G, K = theta.shape
     R = p.shape[-1]
     B = batch.triplets.shape[0]
-    th1, th2, th3 = _gather_thetas(theta, batch.triplets)
+    th1, th2, th3 = _barrier(_gather_thetas(theta, batch.triplets))
     p_m = jnp.transpose(p, (2, 0, 1, 3)).reshape(K, K * K * R)
     T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, K, R)
-    T = jnp.take_along_axis(T_all, batch.ratings[:, None, None, None], axis=3)[..., 0]
+    T = _barrier(
+        jnp.take_along_axis(T_all, batch.ratings[:, None, None, None], axis=3)[..., 0]
+    )
     D = jnp.einsum("bk,bkl,bl->b", th1, T, th2, precision=precision)
     w = batch.weights.astype(theta.dtype)
     return jnp.sum(w * jnp.log(D + _EPS))

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
-from trigenicinteractionpredictor_tpu.ops.em import Batch, _gather_thetas
+from trigenicinteractionpredictor_tpu.ops.em import Batch, _barrier, _gather_thetas
 
 
 def predict_proba(
@@ -31,8 +31,10 @@ def predict_proba(
     K = theta.shape[-1]
     R = p.shape[-1]
     B = triplets.shape[0]
-    th1, th2, th3 = _gather_thetas(theta, triplets)
-    W = (th1[:, :, None] * th2[:, None, :]).reshape(B, K * K)
+    # _barrier: see ops/em.py — keeps gathers/outer products out of the
+    # matmul fusion cluster (axon backend miscompile at large B).
+    th1, th2, th3 = _barrier(_gather_thetas(theta, triplets))
+    W = _barrier((th1[:, :, None] * th2[:, None, :]).reshape(B, K * K))
     A3_all = jnp.matmul(W, p.reshape(K * K, K * R), precision=precision)
     return jnp.einsum(
         "bmr,bm->br", A3_all.reshape(B, K, R), th3, precision=precision

@@ -99,7 +99,10 @@ def make_sharded_train_step(
         out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),
         check_vma=False,
     )
-    return jax.jit(shmapped, donate_argnums=0)
+    # No buffer donation: the axon PJRT backend deadlocks on the second call
+    # of a donating executable (observed in-session), and the donated state
+    # is KB-MB scale, so aliasing buys nothing here.
+    return jax.jit(shmapped)
 
 
 def make_sharded_likelihood(

@@ -86,6 +86,10 @@ def fit(
     """
     log = logger or get_logger()
     tcfg = cfg.train
+    # Refuse to train on silently-corrupt accelerator compute (utils/integrity).
+    from trigenicinteractionpredictor_tpu.utils.integrity import check_em_integrity
+
+    check_em_integrity()
     if mesh is None:
         mesh = make_mesh(data=cfg.mesh.data, ensemble=cfg.mesh.ensemble)
     data_size = mesh.shape["data"]
