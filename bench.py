@@ -42,11 +42,21 @@ def measure_engine() -> float:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: first-compile latency through the axon
+    # remote-compile relay is wildly variable (1.5 s to 516 s observed).
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from trigenicinteractionpredictor_tpu.data.synthetic import (
         sample_synthetic_dataset,
     )
     from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
-    from trigenicinteractionpredictor_tpu.ops.em import Batch, em_step
+    from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
+    from trigenicinteractionpredictor_tpu.ops.em import (
+        Batch,
+        em_step,
+        normalize_from_stats,
+    )
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
@@ -58,8 +68,18 @@ def measure_engine() -> float:
     )
     degrees = jnp.asarray(ds.degrees())
     state = init_state(jax.random.key(0), G, K, R)
+
+    stats_fn = resolve_stats_fn("auto", G, K)
+    log(f"backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
+    if stats_fn is None:
+        step_fn = em_step
+    else:
+        def step_fn(s, b, d):
+            stats = stats_fn(s.theta, s.p, b)
+            return normalize_from_stats(s, stats, d), stats.loglik
+
     # No donation: the axon backend deadlocks on donated executables.
-    step = jax.jit(em_step)
+    step = jax.jit(step_fn)
 
     t0 = time.perf_counter()
     state, ll = step(state, batch, degrees)

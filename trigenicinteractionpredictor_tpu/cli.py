@@ -95,16 +95,6 @@ def _make_config(args, n_folds: int = 1):
     )
 
 
-def _resolve_stats_fn(backend: str):
-    if backend == "pallas":
-        from trigenicinteractionpredictor_tpu.ops.pallas_em import (
-            pallas_em_sufficient_stats,
-        )
-
-        return pallas_em_sufficient_stats
-    return None  # jnp default
-
-
 def cmd_fit(args) -> int:
     from trigenicinteractionpredictor_tpu.data.splits import train_test_split
     from trigenicinteractionpredictor_tpu.eval import evaluate
@@ -125,7 +115,6 @@ def cmd_fit(args) -> int:
         logger=logger,
         checkpoint_path=os.path.join(cfg.out_dir, "model.ckpt.npz"),
         resume=args.resume,
-        stats_fn=_resolve_stats_fn(args.backend),
     )
     report = evaluate(result.states, test, result.final_loglik)
     write_text_dump(
@@ -158,7 +147,7 @@ def _run_grid(args, k_grid: List[int], n_folds: int) -> int:
     with open(os.path.join(cfg.out_dir, "config.json"), "w") as fh:
         fh.write(cfg.to_json())
     ds = _load_dataset(args.file, cfg)
-    run_units(cfg, ds, k_grid=k_grid, stats_fn=_resolve_stats_fn(args.backend))
+    run_units(cfg, ds, k_grid=k_grid)
     if jax.process_index() == 0:
         report = merge_report(cfg.out_dir)
         print(json.dumps(report["summary"]))

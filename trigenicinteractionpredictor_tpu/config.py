@@ -93,7 +93,7 @@ class EngineConfig:
     # Pad the triplet batch length to a multiple of this (shard/tile friendly).
     batch_pad_multiple: int = 512
     # Pallas tile size along the triplet axis.
-    tile_b: int = 1024
+    tile_b: int = 512
     param_dtype: str = "float32"
     # Accumulate the log-likelihood in float64 on CPU parity runs.
     highp_likelihood: bool = False

@@ -98,8 +98,21 @@ def fit(
     if S % ens_size != 0:
         raise ValueError(f"samples={S} must divide by ensemble axis {ens_size}")
 
-    # Pad rows so every data shard is equal-length; weight-0 rows are inert.
+    # Resolve the compute backend (jnp vs Pallas fused kernel).
+    if stats_fn is None:
+        from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
+
+        stats_fn = resolve_stats_fn(
+            cfg.engine.backend, train_ds.n_genes, tcfg.k, cfg.engine.tile_b
+        )
+        if stats_fn is not None:
+            log.log("backend", kernel="pallas", tile_b=cfg.engine.tile_b)
+
+    # Pad rows so every data shard is equal-length (and, on the kernel path,
+    # a multiple of the kernel tile); weight-0 rows are inert.
     pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
+    if stats_fn is not None:
+        pad = _lcm(pad, data_size * cfg.engine.tile_b)
     ds = train_ds.pad_to(pad)
     degrees = jnp.asarray(ds.degrees())
     batch = Batch(
