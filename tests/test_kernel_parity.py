@@ -82,3 +82,33 @@ def test_kernel_in_em_step():
         np.asarray(k_state.p), np.asarray(ref_state.p), atol=1e-5
     )
     np.testing.assert_allclose(float(stats.loglik), float(ref_ll), rtol=1e-5)
+
+
+def test_ensemble_kernel_matches_vmapped_jnp():
+    """S stacked restarts in one kernel call == vmapped jnp stats."""
+    import jax
+
+    ds, batch, _ = _setup(512, 40, 5, 2, seed=3, pad_to=256)
+    S = 3
+    keys = jax.random.split(jax.random.key(0), S)
+    from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+        pallas_em_ensemble_stats,
+    )
+
+    states = jax.vmap(lambda k: init_state(k, 40, 5, 2))(keys)
+    ref = jax.vmap(lambda th, p: em_sufficient_stats(th, p, batch))(
+        states.theta, states.p
+    )
+    out = pallas_em_ensemble_stats(
+        states.theta, states.p, batch, tile_b=256, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta_hat), np.asarray(ref.theta_hat), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_hat), np.asarray(ref.p_hat), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.loglik), np.asarray(ref.loglik), rtol=1e-5
+    )

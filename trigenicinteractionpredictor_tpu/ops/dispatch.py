@@ -54,7 +54,9 @@ def resolve_stats_fn(
 
 def _pallas_fn(tile_b: int) -> Callable:
     from trigenicinteractionpredictor_tpu.ops.pallas_em import (
-        pallas_em_sufficient_stats,
+        pallas_em_ensemble_stats,
     )
 
-    return functools.partial(pallas_em_sufficient_stats, tile_b=tile_b)
+    fn = functools.partial(pallas_em_ensemble_stats, tile_b=tile_b)
+    fn.ensemble = True  # one call with stacked restarts (sharded_em.py)
+    return fn

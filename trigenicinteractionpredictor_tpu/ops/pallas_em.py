@@ -61,21 +61,29 @@ def _em_tile_kernel(
     trip_ref,      # int32 [Bt, 3]
     r_ref,         # int32 [Bt, 1]
     w_ref,         # f32  [Bt, 1]
-    theta_ref,     # f32  [G, K]        (whole array, VMEM-resident)
-    p_m_ref,       # f32  [K, R*K*K]    columns ordered (r, k, l)
-    p_kk_ref,      # f32  [K*K, R*K]    columns ordered (r, m)
+    theta_ref,     # f32  [G, S*K]      restarts stacked along columns
+    p_m_ref,       # f32  [S*K, R*K*K]  rows (s, m); columns (r, k, l)
+    p_kk_ref,      # f32  [S*K*K, R*K]  rows (s, k, l); columns (r, m)
     e1_ref,        # f32  [K, K*K]
     e2_ref,        # f32  [K, K*K]
     # outputs (constant index maps -> VMEM accumulators across the grid)
-    theta_hat_ref,  # f32 [G, K]
-    s_ref,          # f32 [K*K, R*K]    columns ordered (r, m)
-    ll_ref,         # f32 [1, 1] in SMEM
+    theta_hat_ref,  # f32 [G, S*K]
+    s_ref,          # f32 [S*K*K, R*K]
+    ll_ref,         # f32 [S, 1] in SMEM
     *,
     k: int,
     n_ratings: int,
+    n_samples: int,
 ):
+    """One triplet tile for an ensemble of S restarts.
+
+    The expensive [Bt, G]-shaped one-hot matmuls (gather + scatter-add) run
+    ONCE for the whole ensemble with S*K output lanes — ensemble width is
+    nearly free on the MXU, which is exactly the reference's serial
+    "samples" loop turned into hardware lanes (SURVEY.md §3.3 EP).
+    """
     i = pl.program_id(0)
-    K, R = k, n_ratings
+    K, R, S = k, n_ratings, n_samples
     Bt = trip_ref.shape[0]
     G = theta_ref.shape[0]
     K2 = K * K
@@ -84,7 +92,8 @@ def _em_tile_kernel(
     def _init():
         theta_hat_ref[:] = jnp.zeros_like(theta_hat_ref)
         s_ref[:] = jnp.zeros_like(s_ref)
-        ll_ref[0, 0] = 0.0
+        for s in range(S):
+            ll_ref[s, 0] = 0.0
 
     theta = theta_ref[:]
     gene_iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
@@ -92,85 +101,101 @@ def _em_tile_kernel(
     def onehot(pos: int):
         return (gene_iota == trip_ref[:, pos][:, None]).astype(jnp.float32)
 
-    # Gather theta rows as one-hot matmuls (MXU; no per-row DMA).
+    # Shared across the ensemble: triplet one-hots and the rating one-hot.
     oh1, oh2, oh3 = onehot(0), onehot(1), onehot(2)
-    th1 = jnp.dot(oh1, theta, preferred_element_type=jnp.float32)
-    th2 = jnp.dot(oh2, theta, preferred_element_type=jnp.float32)
-    th3 = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
-
-    # Rating one-hot [Bt, R] (R tiny; static per-rating slices below).
+    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32)
+    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32)
+    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
     r_onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (Bt, R), 1) == r_ref[:, 0][:, None]
     ).astype(jnp.float32)
-
-    # T_all[b, (r,k,l)] = sum_m th3[b,m] p[k,l,m,r]; select r_b statically.
-    T_all = jnp.dot(th3, p_m_ref[:], preferred_element_type=jnp.float32)
-    T = jnp.zeros((Bt, K2), jnp.float32)
-    for rr in range(R):
-        T += T_all[:, rr * K2 : (rr + 1) * K2] * r_onehot[:, rr : rr + 1]
-
-    e1, e2 = e1_ref[:], e2_ref[:]
-    th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32)
-    th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32)
-
-    # Marginal helpers and denominator.
-    A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32)
-    A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32)
-    D = jnp.sum(th1 * A1, axis=1, keepdims=True)                   # [Bt, 1]
-
-    W = th1_spread * th2_spread                                    # [Bt, K^2]
-    A3_all = jnp.dot(W, p_kk_ref[:], preferred_element_type=jnp.float32)
-    A3 = jnp.zeros((Bt, K), jnp.float32)
-    for rr in range(R):
-        A3 += A3_all[:, rr * K : (rr + 1) * K] * r_onehot[:, rr : rr + 1]
-
     w = w_ref[:]                                                   # [Bt, 1]
-    scale = w / (D + _EPS)                                         # [Bt, 1]
+    e1, e2 = e1_ref[:], e2_ref[:]
 
-    # theta accumulators: scatter-add as transposed one-hot matmuls.
-    s1 = th1 * A1 * scale
-    s2 = th2 * A2 * scale
-    s3 = th3 * A3 * scale
+    # Per-restart [Bt, K]-wide algebra (static S loop; K^3-scale matmuls).
+    s_tiles = []
+    ll_parts = []
+    for s in range(S):
+        sl = slice(s * K, (s + 1) * K)
+        th1, th2, th3 = th1_all[:, sl], th2_all[:, sl], th3_all[:, sl]
+
+        # T[b,(k,l)] = sum_m th3[b,m] p_s[k,l,m,r_b]
+        T_all = jnp.dot(
+            th3, p_m_ref[s * K : (s + 1) * K, :],
+            preferred_element_type=jnp.float32,
+        )
+        T = jnp.zeros((Bt, K2), jnp.float32)
+        for rr in range(R):
+            T += T_all[:, rr * K2 : (rr + 1) * K2] * r_onehot[:, rr : rr + 1]
+
+        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32)
+        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32)
+
+        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32)
+        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32)
+        D = jnp.sum(th1 * A1, axis=1, keepdims=True)               # [Bt, 1]
+
+        W = th1_spread * th2_spread                                # [Bt, K^2]
+        A3_all = jnp.dot(
+            W, p_kk_ref[s * K2 : (s + 1) * K2, :],
+            preferred_element_type=jnp.float32,
+        )
+        A3 = jnp.zeros((Bt, K), jnp.float32)
+        for rr in range(R):
+            A3 += A3_all[:, rr * K : (rr + 1) * K] * r_onehot[:, rr : rr + 1]
+
+        scale = w / (D + _EPS)                                     # [Bt, 1]
+        s_tiles.append((th1 * A1 * scale, th2 * A2 * scale, th3 * A3 * scale))
+
+        # p accumulator for restart s.
+        V = W * scale
+        th3r = jnp.concatenate(
+            [th3 * r_onehot[:, rr : rr + 1] for rr in range(R)], axis=1
+        )
+        s_ref[s * K2 : (s + 1) * K2, :] += jnp.dot(
+            V.T, th3r, preferred_element_type=jnp.float32
+        )
+        ll_parts.append(jnp.sum(w * jnp.log(D + _EPS)))
+
+    # theta scatter-add: ONE trio of [G, Bt] x [Bt, S*K] matmuls for the
+    # whole ensemble (restart streams re-stacked along columns).
+    s1_all = jnp.concatenate([t[0] for t in s_tiles], axis=1)
+    s2_all = jnp.concatenate([t[1] for t in s_tiles], axis=1)
+    s3_all = jnp.concatenate([t[2] for t in s_tiles], axis=1)
     theta_hat_ref[:] += (
-        jnp.dot(oh1.T, s1, preferred_element_type=jnp.float32)
-        + jnp.dot(oh2.T, s2, preferred_element_type=jnp.float32)
-        + jnp.dot(oh3.T, s3, preferred_element_type=jnp.float32)
+        jnp.dot(oh1.T, s1_all, preferred_element_type=jnp.float32)
+        + jnp.dot(oh2.T, s2_all, preferred_element_type=jnp.float32)
+        + jnp.dot(oh3.T, s3_all, preferred_element_type=jnp.float32)
     )
-
-    # p accumulator: S[(k,l), (r,m)] += (W*scale)^T @ concat_r(onehot_r * th3)
-    V = W * scale
-    th3r = jnp.concatenate(
-        [th3 * r_onehot[:, rr : rr + 1] for rr in range(R)], axis=1
-    )                                                              # [Bt, R*K]
-    s_ref[:] += jnp.dot(V.T, th3r, preferred_element_type=jnp.float32)
-
-    ll_ref[0, 0] += jnp.sum(w * jnp.log(D + _EPS))
+    for s in range(S):
+        ll_ref[s, 0] += ll_parts[s]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def _pallas_stats(
-    theta: jax.Array,
-    p: jax.Array,
+    thetas: jax.Array,   # [S, G, K]
+    ps: jax.Array,       # [S, K, K, K, R]
     triplets: jax.Array,
     ratings: jax.Array,
     weights: jax.Array,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    G, K = theta.shape
-    R = p.shape[-1]
+    S, G, K = thetas.shape
+    R = ps.shape[-1]
     B = triplets.shape[0]
     assert B % tile_b == 0, f"batch {B} must be padded to a multiple of {tile_b}"
     n_tiles = B // tile_b
 
-    # p views with the rating class as the MAJOR column block (static slices
-    # in-kernel; Mosaic cannot split minor dims).
-    p_m = jnp.transpose(p, (2, 3, 0, 1)).reshape(K, R * K * K)
-    p_kk = jnp.transpose(p, (0, 1, 3, 2)).reshape(K * K, R * K)
+    # Restarts stacked along columns/rows; the rating class is the MAJOR
+    # column block (static slices in-kernel; Mosaic cannot split minor dims).
+    theta_all = jnp.transpose(thetas, (1, 0, 2)).reshape(G, S * K)
+    p_m = jnp.transpose(ps, (0, 3, 4, 1, 2)).reshape(S * K, R * K * K)
+    p_kk = jnp.transpose(ps, (0, 1, 2, 4, 3)).reshape(S * K * K, R * K)
     e1_np, e2_np = _selectors(K)
     e1, e2 = jnp.asarray(e1_np), jnp.asarray(e2_np)
 
-    kernel = functools.partial(_em_tile_kernel, k=K, n_ratings=R)
+    kernel = functools.partial(_em_tile_kernel, k=K, n_ratings=R, n_samples=S)
     theta_hat, s, ll = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -178,39 +203,42 @@ def _pallas_stats(
             pl.BlockSpec((tile_b, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, R * K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * K, R * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * K, R * K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * K * K, R * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * K, R * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * K * K, R * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, K), jnp.float32),
-            jax.ShapeDtypeStruct((K * K, R * K), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G, S * K), jnp.float32),
+            jax.ShapeDtypeStruct((S * K * K, R * K), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (6 * G * K + 3 * K * K * K * R),
-            bytes_accessed=B * (3 * 4 + 4 + 4) + G * K * 4 * 2,
-            transcendentals=B,
+            flops=2 * B * (6 * G * S * K + S * 3 * K * K * K * R),
+            bytes_accessed=B * (3 * 4 + 4 + 4) + G * S * K * 4 * 2,
+            transcendentals=B * S,
         ),
         interpret=interpret,
     )(
         triplets,
         ratings[:, None],
         weights[:, None].astype(jnp.float32),
-        theta.astype(jnp.float32),
+        theta_all.astype(jnp.float32),
         p_m.astype(jnp.float32),
         p_kk.astype(jnp.float32),
         e1,
         e2,
     )
-    return theta_hat, s, ll
+    # Back to stacked layouts: [S, G, K], [S, K, K, K, R], [S].
+    theta_hat = jnp.transpose(theta_hat.reshape(G, S, K), (1, 0, 2))
+    s = jnp.transpose(s.reshape(S, K, K, R, K), (0, 1, 2, 4, 3))
+    return theta_hat, s, ll[:, 0]
 
 
 def pallas_em_sufficient_stats(
@@ -223,22 +251,47 @@ def pallas_em_sufficient_stats(
 ) -> SweepStats:
     """Drop-in replacement for ops.em.em_sufficient_stats (Pallas path).
 
-    ``interpret`` defaults to True off-TPU so CPU tests exercise the same
-    kernel logic.
+    Single-restart view of the ensemble kernel (S=1).  ``interpret``
+    defaults to True off-TPU so CPU tests exercise the same kernel logic.
+    """
+    out = pallas_em_ensemble_stats(
+        theta[None], p[None], batch, tile_b=tile_b, interpret=interpret
+    )
+    return SweepStats(
+        theta_hat=out.theta_hat[0], p_hat=out.p_hat[0], loglik=out.loglik[0]
+    )
+
+
+def pallas_em_ensemble_stats(
+    thetas: jax.Array,   # [S, G, K]
+    ps: jax.Array,       # [S, K, K, K, R]
+    batch: Batch,
+    precision=None,      # signature compatibility; unused
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool | None = None,
+) -> SweepStats:
+    """Whole-ensemble fused sweep: S restarts share the one-hot matmuls.
+
+    The reference runs restarts serially (SURVEY.md §4.1); the jnp path
+    vmaps them (S x cost); here ensemble width rides the MXU lane dimension
+    so S restarts cost barely more than one.  Returns SweepStats with a
+    leading [S] axis on every field.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     theta_hat, s, ll = _pallas_stats(
-        theta,
-        p,
+        thetas,
+        ps,
         batch.triplets,
         batch.ratings,
         batch.weights,
         tile_b=tile_b,
         interpret=interpret,
     )
-    K = theta.shape[-1]
-    R = p.shape[-1]
-    # s columns are (r, m); back to [K, K, K, R].
-    p_hat = p * jnp.transpose(s.reshape(K, K, R, K), (0, 1, 3, 2))
-    return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=ll[0, 0])
+    p_hat = ps * s
+    return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=ll)
+
+
+# Marker for parallel/sharded_em.py: call once with stacked states instead
+# of vmapping per restart.
+pallas_em_ensemble_stats.ensemble = True  # type: ignore[attr-defined]

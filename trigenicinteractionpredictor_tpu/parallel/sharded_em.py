@@ -80,11 +80,17 @@ def make_sharded_train_step(
     """
 
     def local_step(states: ModelState, batch: Batch, degrees: jax.Array):
-        # Per-device: local restarts x local triplet shard.
-        def one_restart(state: ModelState) -> SweepStats:
-            return stats_fn(state.theta, state.p, batch, precision=precision)
-
-        stats = jax.vmap(one_restart)(states)
+        # Per-device: local restarts x local triplet shard.  Ensemble-aware
+        # kernels (pallas_em_ensemble_stats) take the stacked states in one
+        # call and share work across restarts; plain kernels get vmapped.
+        if getattr(stats_fn, "ensemble", False):
+            stats = stats_fn(states.theta, states.p, batch, precision=precision)
+        else:
+            stats = jax.vmap(
+                lambda state: stats_fn(
+                    state.theta, state.p, batch, precision=precision
+                )
+            )(states)
         # The only cross-chip point: merge shard-local sufficient stats.
         stats = jax.lax.psum(stats, DATA_AXIS)
         new_states = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
