@@ -53,6 +53,10 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--tau-mode", choices=["abs", "negative"], default="abs")
     sub.add_argument("--p-cutoff", type=float, default=0.05)
     sub.add_argument("--tau-cutoff", type=float, default=0.08)
+    sub.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler (perfetto) trace of the run to DIR",
+    )
 
 
 def _make_config(args, n_folds: int = 1):
@@ -96,12 +100,17 @@ def _make_config(args, n_folds: int = 1):
 
 
 def cmd_fit(args) -> int:
+    import contextlib
+
     from trigenicinteractionpredictor_tpu.data.splits import train_test_split
     from trigenicinteractionpredictor_tpu.eval import evaluate
+    from trigenicinteractionpredictor_tpu.parallel.distributed import maybe_initialize
     from trigenicinteractionpredictor_tpu.train.checkpoint import write_text_dump
     from trigenicinteractionpredictor_tpu.train.trainer import fit
     from trigenicinteractionpredictor_tpu.utils.logging import JsonlLogger
+    from trigenicinteractionpredictor_tpu.utils.profiling import trace
 
+    maybe_initialize()
     cfg = _make_config(args)
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(os.path.join(cfg.out_dir, "config.json"), "w") as fh:
@@ -109,13 +118,15 @@ def cmd_fit(args) -> int:
     ds = _load_dataset(args.file, cfg)
     train, test = train_test_split(ds, cfg.split.test_fraction, cfg.split.seed)
     logger = JsonlLogger(os.path.join(cfg.out_dir, "events.jsonl"))
-    result = fit(
-        cfg,
-        train,
-        logger=logger,
-        checkpoint_path=os.path.join(cfg.out_dir, "model.ckpt.npz"),
-        resume=args.resume,
-    )
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        result = fit(
+            cfg,
+            train,
+            logger=logger,
+            checkpoint_path=os.path.join(cfg.out_dir, "model.ckpt.npz"),
+            resume=args.resume,
+        )
     report = evaluate(result.states, test, result.final_loglik)
     write_text_dump(
         os.path.join(cfg.out_dir, "params"),
@@ -140,8 +151,10 @@ def cmd_fit(args) -> int:
 def _run_grid(args, k_grid: List[int], n_folds: int) -> int:
     import jax
 
+    from trigenicinteractionpredictor_tpu.parallel.distributed import maybe_initialize
     from trigenicinteractionpredictor_tpu.train.driver import merge_report, run_units
 
+    maybe_initialize()
     cfg = _make_config(args, n_folds=n_folds)
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(os.path.join(cfg.out_dir, "config.json"), "w") as fh:
