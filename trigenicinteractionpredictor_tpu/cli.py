@@ -57,6 +57,10 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler (perfetto) trace of the run to DIR",
     )
+    sub.add_argument(
+        "--debug-nans", action="store_true",
+        help="raise on the first NaN produced on device (jax_debug_nans)",
+    )
 
 
 def _make_config(args, n_folds: int = 1):
@@ -89,6 +93,7 @@ def _make_config(args, n_folds: int = 1):
             tol=args.tol,
             seed=args.seed,
             checkpoint_every=args.checkpoint_every,
+            debug_nans=getattr(args, "debug_nans", False),
         ),
         split=SplitConfig(
             test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed

@@ -57,6 +57,9 @@ class TrainConfig:
     # Simplex initialization concentration (Dirichlet alpha); 1.0 = uniform.
     init_alpha: float = 1.0
     checkpoint_every: int = 0        # sweeps between checkpoints (0 = off)
+    # Debug mode: raise on the first NaN produced on device (jax_debug_nans)
+    # — the CI-grade sanitizer for this workload (SURVEY.md §6).
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -15,14 +15,31 @@ import jax
 
 from trigenicinteractionpredictor_tpu.ops.em import em_sufficient_stats
 
-# Per-tile VMEM budget for the kernel's [Bt, G] one-hot scratch (bytes).
-_ONEHOT_BUDGET = 8 * 1024 * 1024
+# Per-tile VMEM budget heuristic.  Mosaic reuses dead buffers, so the naive
+# sum of live tensors overestimates badly — K=50/G=1000/tile=256 sums to
+# ~15 MB yet compiles and runs (validated on-chip at 20.4M triplets/s).
+# The model below counts the two genuinely co-live groups (one-hots +
+# persistent accumulators) plus one K^2-wide tile, against a loose budget.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def kernel_fits(n_genes: int, k: int, tile_b: int = 512) -> bool:
-    onehot_bytes = tile_b * n_genes * 4
-    accum_bytes = n_genes * k * 4 * 2
-    return onehot_bytes + accum_bytes < _ONEHOT_BUDGET
+def kernel_fits(n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1) -> bool:
+    s = max(n_samples, 1)
+    onehot = 3 * tile_b * n_genes * 4                 # oh1..oh3 [Bt, G]
+    k2_tile = tile_b * k * k * 2 * 4                  # widest [Bt, R*K^2] tile
+    theta = n_genes * s * k * 4 * 2                   # theta + theta_hat accum
+    p_views = 2 * s * k * k * k * 2 * 4               # p_m + p_kk (R~2)
+    return onehot + k2_tile + theta + p_views < _VMEM_BUDGET
+
+
+def _fit_tile(n_genes: int, k: int, tile_b: int) -> Optional[int]:
+    """Largest tile <= tile_b that fits VMEM (halving, floor 128)."""
+    t = tile_b
+    while t >= 128:
+        if kernel_fits(n_genes, k, t):
+            return t
+        t //= 2
+    return None
 
 
 def resolve_stats_fn(
@@ -33,21 +50,22 @@ def resolve_stats_fn(
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
-    Raises on backend='pallas' when the shapes cannot fit the kernel.
+    The tile size shrinks automatically for large K/G working sets.
+    Raises on backend='pallas' when no tile fits.
     """
     if backend in (None, "", "jnp"):
         return None
-    fits = kernel_fits(n_genes, k, tile_b)
+    tile = _fit_tile(n_genes, k, tile_b)
     if backend == "pallas":
-        if not fits:
+        if tile is None:
             raise ValueError(
-                f"pallas kernel does not fit VMEM at G={n_genes}, "
-                f"tile_b={tile_b}; use backend='jnp' or a smaller tile"
+                f"pallas kernel does not fit VMEM at G={n_genes}, K={k}; "
+                "use backend='jnp'"
             )
-        return _pallas_fn(tile_b)
+        return _pallas_fn(tile)
     if backend == "auto":
-        if jax.default_backend() == "tpu" and fits:
-            return _pallas_fn(tile_b)
+        if jax.default_backend() == "tpu" and tile is not None:
+            return _pallas_fn(tile)
         return None
     raise ValueError(f"unknown backend {backend!r}")
 

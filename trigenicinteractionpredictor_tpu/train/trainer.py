@@ -86,6 +86,8 @@ def fit(
     """
     log = logger or get_logger()
     tcfg = cfg.train
+    if tcfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     # Refuse to train on silently-corrupt accelerator compute (utils/integrity).
     from trigenicinteractionpredictor_tpu.utils.integrity import check_em_integrity
 
