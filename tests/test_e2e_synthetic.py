@@ -89,3 +89,17 @@ def test_restart_ll_correlates_with_auc(fitted):
         )
     best = result.best_sample
     assert aucs[best] >= np.median(aucs) - 0.02
+
+
+def test_heldout_loglik_reported(fitted):
+    """EvalReport carries held-out log-likelihood (BASELINE config 3)."""
+    ds, _, _, train, test, result = fitted
+    report = evaluate(result.states, test, result.final_loglik)
+    assert report.heldout_loglik < 0 and np.isfinite(report.heldout_loglik)
+    assert report.heldout_loglik_mean < 0
+    # Best-sample held-out L should not be much worse than the ensemble mean.
+    assert report.heldout_loglik >= report.heldout_loglik_mean - abs(
+        report.heldout_loglik_mean
+    ) * 0.1
+    d = report.to_dict()
+    assert "heldout_loglik" in d and "heldout_loglik_mean" in d

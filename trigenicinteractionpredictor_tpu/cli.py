@@ -140,9 +140,7 @@ def cmd_fit(args) -> int:
         gene_names=ds.gene_names,
     )
     out = {
-        "auc": report.auc,
-        "average_precision": report.average_precision,
-        "best_sample_auc": report.best_sample_auc,
+        **report.to_dict(),
         "ll_best": float(result.final_loglik.max()),
         "sweeps": result.sweeps_run,
         "triplets_per_sec": result.triplets_per_sec,

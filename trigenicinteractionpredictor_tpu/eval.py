@@ -17,6 +17,7 @@ import numpy as np
 
 from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
 from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+from trigenicinteractionpredictor_tpu.ops.em import Batch, log_likelihood
 from trigenicinteractionpredictor_tpu.ops.metrics import auc, average_precision
 from trigenicinteractionpredictor_tpu.ops.scoring import (
     ensemble_predict_interaction,
@@ -29,6 +30,8 @@ class EvalReport:
     auc: float
     average_precision: float
     best_sample_auc: float
+    heldout_loglik: float         # test-set log-likelihood of the best sample
+    heldout_loglik_mean: float    # mean over the restart ensemble
     n_test: int
     n_pos: int
 
@@ -37,6 +40,8 @@ class EvalReport:
             "auc": self.auc,
             "average_precision": self.average_precision,
             "best_sample_auc": self.best_sample_auc,
+            "heldout_loglik": self.heldout_loglik,
+            "heldout_loglik_mean": self.heldout_loglik_mean,
             "n_test": self.n_test,
             "n_pos": self.n_pos,
         }
@@ -67,21 +72,28 @@ def evaluate(
     ens_auc = float(auc(ens_scores, labels, weights))
     ens_ap = float(average_precision(ens_scores, labels, weights))
 
+    # Held-out log-likelihood per sample (BASELINE config 3 reports this).
+    test_batch = Batch(triplets=trips, ratings=labels, weights=weights)
+    heldout_ll = np.asarray(
+        jax.vmap(lambda st: log_likelihood(st, test_batch))(states_j),
+        dtype=np.float64,
+    )
+
     if final_loglik is not None:
         best = int(np.argmax(final_loglik))
-        best_state = ModelState(
-            theta=states_j.theta[best], p=states_j.p[best]
-        )
-        best_scores = predict_interaction(best_state, trips, interact_rating)
-        best_auc = float(auc(best_scores, labels, weights))
     else:
-        best_auc = ens_auc
+        best = int(np.argmax(heldout_ll))
+    best_state = ModelState(theta=states_j.theta[best], p=states_j.p[best])
+    best_scores = predict_interaction(best_state, trips, interact_rating)
+    best_auc = float(auc(best_scores, labels, weights))
 
     real = np.asarray(test_ds.weights) > 0
     return EvalReport(
         auc=ens_auc,
         average_precision=ens_ap,
         best_sample_auc=best_auc,
+        heldout_loglik=float(heldout_ll[best]),
+        heldout_loglik_mean=float(heldout_ll.mean()),
         n_test=int(real.sum()),
         n_pos=int(np.asarray(test_ds.ratings)[real].sum()),
     )

@@ -16,6 +16,8 @@ would actually enter.
 from __future__ import annotations
 
 import functools
+import json
+import os
 import warnings
 from typing import Optional
 
@@ -28,10 +30,70 @@ class ComputeIntegrityError(RuntimeError):
     """The accelerator produced results inconsistent with the host CPU."""
 
 
+# Relative tolerance for probe agreement.  f32 accumulation-order noise
+# between the MXU one-hot-matmul scatter and the CPU segment-sum reaches
+# ~2e-3 at probe scale (measured: theta_hat maxdiff 0.21 on scale 119);
+# the miscompile this guards against was ~100% error, so 5e-3 separates
+# the two regimes with margin on both sides.
+_TOL = 5e-3
+
+
+def _code_fingerprint() -> str:
+    """Hash of the compute-path sources — invalidates cached verdicts."""
+    import hashlib
+
+    import trigenicinteractionpredictor_tpu.ops.em as em_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em as pk_mod
+
+    h = hashlib.sha256()
+    for mod in (em_mod, pk_mod):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    h.update(jax.__version__.encode())
+    return h.hexdigest()[:16]
+
+
+def _cache_path() -> str:
+    import trigenicinteractionpredictor_tpu as pkg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    return os.path.join(root, ".integrity_cache.json")
+
+
+def _cached_verdict(key: str):
+    try:
+        with open(_cache_path()) as fh:
+            return json.load(fh).get(key)
+    except Exception:
+        return None
+
+
+def _store_verdict(key: str, ok: bool) -> None:
+    path = _cache_path()
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                data = json.load(fh)
+        data[key] = bool(ok)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 @functools.lru_cache(maxsize=None)
 def _probe_result(platform: str, n: int, g: int, k: int, r: int) -> bool:
-    """Run the probe once per (platform, shape); cache the verdict."""
+    """Run the probe once per (platform, shape); cache the verdict.
+
+    Checks BOTH compute paths on the accelerator — the jnp/XLA graph and
+    (when it fits) the Pallas kernel, which is the default TPU path —
+    against the host-CPU jnp result.
+    """
     from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.dispatch import kernel_fits
     from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
 
     rng = np.random.default_rng(0)
@@ -42,27 +104,46 @@ def _probe_result(platform: str, n: int, g: int, k: int, r: int) -> bool:
     state = init_state(jax.random.key(0), g, k, r)
     theta_np, p_np = np.asarray(state.theta), np.asarray(state.p)
 
-    def run(device):
+    def run(device, stats_fn):
         args = [
             jax.device_put(jnp.asarray(a), device)
             for a in (theta_np, p_np, trip, ratings, weights)
         ]
         out = jax.jit(
-            lambda th, p, t, rr, w: em_sufficient_stats(th, p, Batch(t, rr, w))
+            lambda th, p, t, rr, w: stats_fn(th, p, Batch(t, rr, w))
         )(*args)
         return [np.asarray(x) for x in out]
 
-    acc = run(jax.devices()[0])
-    cpu = run(jax.devices("cpu")[0])
-    for name, a, c in zip(("theta_hat", "p_hat", "loglik"), acc, cpu):
-        scale = max(float(np.abs(c).max()), 1.0)
-        if float(np.abs(a - c).max()) > 1e-3 * scale:
-            warnings.warn(
-                f"integrity probe mismatch on {name}: "
-                f"max|acc-cpu|={np.abs(a - c).max():.4g} vs scale {scale:.4g}"
-            )
-            return False
-    return True
+    cpu = run(jax.devices("cpu")[0], em_sufficient_stats)
+
+    def check(tag, acc):
+        for name, a, c in zip(("theta_hat", "p_hat", "loglik"), acc, cpu):
+            scale = max(float(np.abs(c).max()), 1.0)
+            if float(np.abs(a - c).max()) > _TOL * scale:
+                warnings.warn(
+                    f"integrity probe mismatch [{tag}] on {name}: "
+                    f"max|acc-cpu|={np.abs(a - c).max():.4g} vs {scale:.4g}"
+                )
+                return False
+        return True
+
+    dev = jax.devices()[0]
+    ok = check("jnp", run(dev, em_sufficient_stats))
+    if ok and platform == "tpu" and kernel_fits(g, k, 512):
+        from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+            pallas_em_sufficient_stats,
+        )
+
+        ok = check(
+            "pallas",
+            run(
+                dev,
+                lambda th, p, b: pallas_em_sufficient_stats(
+                    th, p, b, interpret=False
+                ),
+            ),
+        )
+    return ok
 
 
 def check_em_integrity(
@@ -79,7 +160,24 @@ def check_em_integrity(
     platform = jax.devices()[0].platform
     if platform == "cpu":
         return True
+    # On-disk verdict cache: the probe costs accelerator compiles (minutes
+    # through the axon remote-compile relay), so one verdict per
+    # (device, code fingerprint, shape) serves every process on the host.
+    key = (
+        f"{platform}:{jax.devices()[0].device_kind}:{_code_fingerprint()}:"
+        f"{n}:{n_genes}:{k}:{n_ratings}:{_TOL}"
+    )
+    cached = _cached_verdict(key)
+    if cached is not None:
+        ok = cached
+        if not ok and raise_on_failure:
+            raise ComputeIntegrityError(
+                "cached integrity verdict is FAIL for this device/code — "
+                "delete .integrity_cache.json to re-probe"
+            )
+        return ok
     ok = _probe_result(platform, n, n_genes, k, n_ratings)
+    _store_verdict(key, ok)
     if not ok and raise_on_failure:
         raise ComputeIntegrityError(
             "accelerator EM sufficient-statistics disagree with host CPU — "
