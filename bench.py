@@ -63,7 +63,7 @@ def measure_engine() -> float:
     from trigenicinteractionpredictor_tpu.ops.em import Batch
     from trigenicinteractionpredictor_tpu.parallel.mesh import single_device_mesh
     from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
-        make_sharded_train_step,
+        make_sharded_multi_step,
         replicate,
         shard_batch,
         shard_ensemble,
@@ -86,32 +86,38 @@ def measure_engine() -> float:
     stats_fn = resolve_stats_fn("auto", G, K)
     log(f"backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
-    # The production step fit() runs: ensemble-stacked states, psum'd stats.
-    step = make_sharded_train_step(mesh, **step_kwargs)
+    # The production step fit() runs: ensemble-stacked states, psum'd stats,
+    # likelihood_freq (=10) sweeps scanned device-side per dispatch.
+    chunk = 10
+    step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
 
-    def run(n_samples: int) -> float:
+    def run(n_samples: int, reps: int = 3) -> float:
         keys = jax.random.split(jax.random.key(0), n_samples)
-        states = shard_ensemble(
+        states0 = shard_ensemble(
             mesh, jax.vmap(lambda k: init_state(k, G, K, R))(keys)
         )
         t0 = time.perf_counter()
-        states, ll = step(states, batch, degrees)
-        _ = float(ll[0])
+        states, ll_hist = step(states0, batch, degrees)
+        _ = float(ll_hist[-1, 0])
         log(f"S={n_samples} first step (compile+run): {time.perf_counter() - t0:.1f}s")
 
-        # Timed: SWEEPS chained ensemble EM sweeps.  The final scalar fetch
-        # is the sync point — block_until_ready alone has been observed not
-        # to wait on this backend.
-        t0 = time.perf_counter()
-        for _ in range(SWEEPS):
-            states, ll = step(states, batch, degrees)
-        ll_best = float(jnp.max(ll))
-        dt = time.perf_counter() - t0
-        tps = SWEEPS * N * n_samples / dt
+        # Timed: SWEEPS chained ensemble EM sweeps, best of ``reps`` (the
+        # axon relay tunnel adds load-dependent jitter run-to-run).  The
+        # final scalar fetch is the sync point — block_until_ready alone has
+        # been observed not to wait on this backend.
+        best_dt, ll_best = float("inf"), 0.0
+        for _ in range(reps):
+            states = states0
+            t0 = time.perf_counter()
+            for _ in range(SWEEPS // chunk):
+                states, ll_hist = step(states, batch, degrees)
+            ll_best = float(jnp.max(ll_hist[-1]))
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        tps = SWEEPS * N * n_samples / best_dt
         log(
             f"engine: {SWEEPS} sweeps x {N} triplets x {n_samples} restarts"
-            f" in {dt:.3f}s -> {tps:,.0f} restart-triplet updates/s/chip"
-            f" (best L={ll_best:,.0f})"
+            f" in {best_dt:.3f}s (best of {reps})"
+            f" -> {tps:,.0f} restart-triplet updates/s/chip (best L={ll_best:,.0f})"
         )
         return tps
 

@@ -16,6 +16,7 @@ from trigenicinteractionpredictor_tpu.ops.em import Batch, em_step, log_likeliho
 from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
 from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
     make_sharded_likelihood,
+    make_sharded_multi_step,
     make_sharded_train_step,
     replicate,
     shard_batch,
@@ -95,6 +96,39 @@ def test_sharded_likelihood_matches_local():
     ll = ll_fn(shard_ensemble(mesh, states), shard_batch(mesh, batch))
     ref = jax.vmap(lambda st: log_likelihood(st, batch))(states)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ref), rtol=1e-5)
+
+
+def test_multi_step_matches_chained_single_steps():
+    """One scanned n-sweep dispatch == n single-step dispatches, including
+    the per-sweep likelihood history rows."""
+    ds, batch = _setup(n=512, pad_to=512, seed=6)
+    deg = jnp.asarray(ds.degrees())
+    mesh = make_mesh(data=4, ensemble=2)
+    S, n_inner = 2, 5
+    keys = jax.random.split(jax.random.key(2), S)
+    states0 = shard_ensemble(
+        mesh, jax.vmap(lambda k: init_state(k, ds.n_genes, 3, 2))(keys)
+    )
+    batch_sh = shard_batch(mesh, batch)
+    deg_sh = replicate(mesh, deg)
+
+    step = make_sharded_train_step(mesh)
+    ref_states, ref_lls = states0, []
+    for _ in range(n_inner):
+        ref_states, ll = step(ref_states, batch_sh, deg_sh)
+        ref_lls.append(np.asarray(ll))
+
+    multi = make_sharded_multi_step(mesh, n_inner)
+    new_states, ll_hist = multi(states0, batch_sh, deg_sh)
+
+    assert ll_hist.shape == (n_inner, S)
+    np.testing.assert_allclose(np.asarray(ll_hist), np.stack(ref_lls), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_states.theta), np.asarray(ref_states.theta), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_states.p), np.asarray(ref_states.p), atol=1e-5
+    )
 
 
 def test_multi_sweep_sharded_run_stays_on_simplex():

@@ -111,6 +111,53 @@ def make_sharded_train_step(
     return jax.jit(shmapped)
 
 
+def make_sharded_multi_step(
+    mesh: Mesh,
+    n_inner: int,
+    precision=jax.lax.Precision.HIGHEST,
+    stats_fn: Callable = em_sufficient_stats,
+) -> Callable[[ModelState, Batch, jax.Array], Tuple[ModelState, jax.Array]]:
+    """Like :func:`make_sharded_train_step` but runs ``n_inner`` chained EM
+    sweeps per dispatch under ``lax.scan``.
+
+    The reference's driver dispatches one interpreted sweep at a time
+    (SURVEY.md §4.1); on TPU the per-dispatch host round-trip costs as much
+    as a whole sweep at Kuzmin scale (~2.5 ms through the axon relay), so the
+    trainer batches the ``likelihood_freq`` sweeps between convergence checks
+    into one device-side loop.  Returns ``(states, ll_hist)`` where
+    ``ll_hist[i, s]`` is restart ``s``'s log-likelihood of the state *before*
+    inner sweep ``i`` — the same per-sweep trace the single-step path yields.
+    """
+
+    def local_multi(states: ModelState, batch: Batch, degrees: jax.Array):
+        def body(carry, _):
+            if getattr(stats_fn, "ensemble", False):
+                stats = stats_fn(carry.theta, carry.p, batch, precision=precision)
+            else:
+                stats = jax.vmap(
+                    lambda state: stats_fn(
+                        state.theta, state.p, batch, precision=precision
+                    )
+                )(carry)
+            stats = jax.lax.psum(stats, DATA_AXIS)
+            new = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
+                carry, stats, degrees
+            )
+            return new, stats.loglik
+
+        states, ll_hist = jax.lax.scan(body, states, length=n_inner)
+        return states, ll_hist  # ll_hist: [n_inner, S_local]
+
+    shmapped = jax.shard_map(
+        local_multi,
+        mesh=mesh,
+        in_specs=(P(ENSEMBLE_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(ENSEMBLE_AXIS), P(None, ENSEMBLE_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
 def make_sharded_likelihood(
     mesh: Mesh,
     precision=jax.lax.Precision.HIGHEST,

@@ -31,7 +31,7 @@ from trigenicinteractionpredictor_tpu.ops.em import Batch
 from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
 from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
     make_sharded_likelihood,
-    make_sharded_train_step,
+    make_sharded_multi_step,
     replicate,
     shard_batch,
     shard_ensemble,
@@ -143,7 +143,17 @@ def fit(
         )(keys)
 
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
-    step = make_sharded_train_step(mesh, **step_kwargs)
+    # Sweeps between likelihood checks run as ONE device-side lax.scan per
+    # dispatch (make_sharded_multi_step) — per-dispatch host round-trips cost
+    # as much as a sweep at Kuzmin scale.  One compiled executable per
+    # distinct chunk length (freq, plus a tail / checkpoint remainder).
+    multi_steps: dict = {}
+
+    def step_chunk(n: int, states, batch_sh, deg_sh):
+        if n not in multi_steps:
+            multi_steps[n] = make_sharded_multi_step(mesh, n, **step_kwargs)
+        return multi_steps[n](states, batch_sh, deg_sh)
+
     ll_fn = make_sharded_likelihood(mesh)
 
     states = shard_ensemble(mesh, states)
@@ -156,15 +166,25 @@ def fit(
     # when many sharded steps are in flight on virtual devices — throttle
     # dispatch depth there.  Real TPUs keep async pipelining.
     throttle = jax.devices()[0].platform == "cpu" and mesh.size > 1
+    ce = tcfg.checkpoint_every if checkpoint_path else 0
+
+    def next_boundary(s: int) -> int:
+        b = min(tcfg.sweeps, (s // freq + 1) * freq)
+        if ce > 0:
+            b = min(b, (s // ce + 1) * ce)
+        return b
+
     prev_check: Optional[np.ndarray] = None
     t0 = time.perf_counter()
     sweep = start_sweep
     stop = False
     while sweep < tcfg.sweeps and not stop:
-        states, ll = step(states, batch_sh, deg_sh)
+        n_inner = next_boundary(sweep) - sweep
+        states, ll_hist = step_chunk(n_inner, states, batch_sh, deg_sh)
+        ll = ll_hist[-1]
         if throttle:
             jax.block_until_ready(ll)
-        sweep += 1
+        sweep += n_inner
         if sweep % freq == 0 or sweep == tcfg.sweeps:
             ll_np = np.asarray(ll, dtype=np.float64)  # L of pre-update state
             ll_rows.append(ll_np)
@@ -181,11 +201,7 @@ def fit(
                     stop = True
                     log.log("early_stop", sweep=sweep, tol=tcfg.tol)
             prev_check = ll_np
-        if (
-            checkpoint_path
-            and tcfg.checkpoint_every > 0
-            and sweep % tcfg.checkpoint_every == 0
-        ):
+        if ce > 0 and sweep % ce == 0:
             save_checkpoint(
                 checkpoint_path,
                 ModelState(
