@@ -51,6 +51,11 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--checkpoint-every", type=int, default=0)
     sub.add_argument("--test-fraction", type=float, default=0.2)
     sub.add_argument("--tau-mode", choices=["abs", "negative"], default="abs")
+    sub.add_argument(
+        "--mutant-type", choices=["trigenic", "digenic"], default="trigenic",
+        help="TSV row filter: trigenic triplets (3-way model family) or "
+        "digenic pairs (2-way family)",
+    )
     sub.add_argument("--p-cutoff", type=float, default=0.05)
     sub.add_argument("--tau-cutoff", type=float, default=0.08)
     sub.add_argument(
@@ -84,6 +89,7 @@ def _make_config(args, n_folds: int = 1):
             p_cutoff=args.p_cutoff,
             tau_cutoff=args.tau_cutoff,
             tau_mode=args.tau_mode,
+            mutant_type=getattr(args, "mutant_type", "trigenic"),
         ),
         train=TrainConfig(
             k=args.k,
@@ -199,11 +205,55 @@ def cmd_predict(args) -> int:
     )
     out = args.out or "predictions.tsv"
     names = ds.gene_names or [str(i) for i in range(ds.n_genes)]
+    cols = ["gene_a", "gene_b", "gene_c"][: ds.arity]
     with open(out, "w") as fh:
-        fh.write("gene_a\tgene_b\tgene_c\tp_interaction\n")
-        for (a, b, c), s in zip(ds.triplets, scores):
-            fh.write(f"{names[a]}\t{names[b]}\t{names[c]}\t{s:.6f}\n")
+        fh.write("\t".join(cols) + "\tp_interaction\n")
+        for genes, s in zip(ds.triplets, scores):
+            fh.write("\t".join(names[g] for g in genes) + f"\t{s:.6f}\n")
     print(json.dumps({"n": len(scores), "out": out}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from trigenicinteractionpredictor_tpu.analysis import (
+        analyze_checkpoint,
+        write_analysis,
+    )
+
+    from trigenicinteractionpredictor_tpu.config import DataConfig
+
+    tuples = labels = None
+    if args.file:
+        dcfg = DataConfig(
+            path=args.file,
+            p_cutoff=args.p_cutoff,
+            tau_cutoff=args.tau_cutoff,
+            tau_mode=args.tau_mode,
+            mutant_type=args.mutant_type,
+        )
+
+        class _Shim:
+            data = dcfg
+
+        ds = _load_dataset(args.file, _Shim)
+        tuples, labels = ds.triplets, ds.ratings
+    report = analyze_checkpoint(args.checkpoint, tuples=tuples, labels=labels)
+    out = args.out or "analysis.json"
+    write_analysis(report, out)
+    print(
+        json.dumps(
+            {
+                k: report[k]
+                for k in (
+                    "n_samples",
+                    "best_sample",
+                    "loglik_spread",
+                    "group_stability",
+                )
+                if k in report
+            }
+        )
+    )
     return 0
 
 
@@ -213,7 +263,12 @@ def cmd_synth(args) -> int:
     )
 
     ds, theta, p = sample_synthetic_dataset(
-        args.n, args.genes, args.k, n_ratings=args.ratings, seed=args.seed
+        args.n,
+        args.genes,
+        args.k,
+        n_ratings=args.ratings,
+        seed=args.seed,
+        arity=args.arity,
     )
     ds.save_npz(args.out)
     if args.ground_truth:
@@ -261,12 +316,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_pr.add_argument("--checkpoint", required=True)
     p_pr.set_defaults(fn=cmd_predict)
 
+    p_an = subs.add_parser(
+        "analyze", help="cross-restart agreement/stability report from a checkpoint"
+    )
+    p_an.add_argument("--checkpoint", required=True)
+    p_an.add_argument(
+        "-f", "--file", default=None,
+        help="optional probe dataset (TSV or .npz) for score agreement + AUC",
+    )
+    p_an.add_argument("-o", "--out", default=None, help="output JSON path")
+    p_an.add_argument("--tau-mode", choices=["abs", "negative"], default="abs")
+    p_an.add_argument("--p-cutoff", type=float, default=0.05)
+    p_an.add_argument("--tau-cutoff", type=float, default=0.08)
+    p_an.add_argument(
+        "--mutant-type", choices=["trigenic", "digenic"], default="trigenic"
+    )
+    p_an.set_defaults(fn=cmd_analyze)
+
     p_sy = subs.add_parser("synth", help="generate a synthetic packed dataset")
     p_sy.add_argument("-o", "--out", required=True)
     p_sy.add_argument("-n", type=int, default=100_000)
     p_sy.add_argument("-g", "--genes", type=int, default=1000)
     p_sy.add_argument("-k", type=int, default=10)
     p_sy.add_argument("--ratings", type=int, default=2)
+    p_sy.add_argument(
+        "--arity", type=int, choices=[2, 3], default=3,
+        help="genes per observation: 3 (trigenic) or 2 (digenic pairs)",
+    )
     p_sy.add_argument("--seed", type=int, default=0)
     p_sy.add_argument("--ground-truth", default=None, help=".npz for (theta*, p*)")
     p_sy.set_defaults(fn=cmd_synth)

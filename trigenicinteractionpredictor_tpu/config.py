@@ -34,8 +34,15 @@ class DataConfig:
     # 'negative' -> tau < -tau_cutoff (Kuzmin's signal is dominated by
     #               negative interactions)
     tau_mode: str = "abs"
-    # Row filter on the "Combined mutant type" column.
+    # Row filter on the "Combined mutant type" column.  "trigenic" yields
+    # arity-3 rows (the reference's only mode); "digenic" yields arity-2
+    # pair rows for the pairwise MMSBM family.
     mutant_type: str = "trigenic"
+    # Genes treated as screen controls when extracting digenic pairs: Data
+    # S1's digenic query strains pair the gene of interest with the ho-delta
+    # control (YDL227C), which is not part of the interaction.  A digenic
+    # row must reduce to exactly 2 non-control genes or it is skipped.
+    control_genes: Tuple[str, ...] = ("YDL227C",)
     # Strip allele suffixes from strain gene tokens ("ydl227c-1" -> "YDL227C").
     strip_allele_suffix: bool = True
     # Deduplicate repeated (sorted triplet) observations, keeping the first.

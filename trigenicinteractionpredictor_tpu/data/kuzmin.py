@@ -99,8 +99,15 @@ def binarize_label(tau: float, p_value: float, cfg: DataConfig) -> int:
 
 def parse_kuzmin_rows(
     lines: Iterable[str], cfg: DataConfig
-) -> List[Tuple[str, str, str, int]]:
-    """Parse TSV text into (gene_a, gene_b, gene_c, rating) rows."""
+) -> List[Tuple]:
+    """Parse TSV text into (gene, ..., gene, rating) rows.
+
+    ``cfg.mutant_type == "trigenic"`` (the reference's mode) yields 3-gene
+    rows.  ``"digenic"`` yields 2-gene rows: the row's genes (two query
+    slots + array slot) are reduced by dropping ``cfg.control_genes`` (the
+    ho-delta screen control rides in one query slot of digenic strains) and
+    the row is kept only if exactly two distinct genes remain.
+    """
     reader = csv.reader(lines, delimiter="\t")
     try:
         header = next(reader)
@@ -118,7 +125,12 @@ def parse_kuzmin_rows(
             f"Kuzmin TSV is missing required columns; header was: {header!r}"
         )
 
-    rows: List[Tuple[str, str, str, int]] = []
+    digenic = cfg.mutant_type == "digenic"
+    controls = {
+        normalize_gene(g, cfg.strip_allele_suffix)
+        for g in getattr(cfg, "control_genes", ()) or ()
+    }
+    rows: List[Tuple] = []
     seen = set()
     for rec in reader:
         if len(rec) <= max(qi, ai, taui, pi):
@@ -138,37 +150,49 @@ def parse_kuzmin_rows(
         except ValueError:
             continue
         a, b = pair
+        if digenic:
+            genes = [g for g in dict.fromkeys((a, b, c)) if g not in controls]
+            if len(genes) != 2:
+                continue
+        else:
+            genes = [a, b, c]
         if cfg.deduplicate:
-            key = tuple(sorted((a, b, c)))
+            key = tuple(sorted(genes))
             if key in seen:
                 continue
             seen.add(key)
-        rows.append((a, b, c, binarize_label(tau, p_value, cfg)))
+        rows.append((*genes, binarize_label(tau, p_value, cfg)))
     return rows
+
+
+def _arity(cfg: DataConfig) -> int:
+    return 2 if cfg.mutant_type == "digenic" else 3
 
 
 def parse_kuzmin_tsv(text: str, cfg: Optional[DataConfig] = None) -> TripletDataset:
     cfg = cfg or DataConfig()
     rows = parse_kuzmin_rows(io.StringIO(text), cfg)
-    return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings)
+    return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings, arity=_arity(cfg))
 
 
 def load_kuzmin_tsv(path: str, cfg: Optional[DataConfig] = None) -> TripletDataset:
     """Load and pack a Kuzmin-style TSV.
 
     Tries the native C++ tokenizer for large files (same semantics, built in
-    ``native/``); falls back to the pure-Python parser.
+    ``native/``; trigenic rows only — digenic pair extraction lives here);
+    falls back to the pure-Python parser.
     """
     cfg = cfg or DataConfig()
-    try:
-        from trigenicinteractionpredictor_tpu.native import binding as _native
+    if _arity(cfg) == 3:
+        try:
+            from trigenicinteractionpredictor_tpu.native import binding as _native
 
-        if _native.available():
-            rows = _native.parse_kuzmin_file(path, cfg)
-            if rows is not None:
-                return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings)
-    except Exception:
-        pass  # native path is an optimization only; semantics live here
+            if _native.available():
+                rows = _native.parse_kuzmin_file(path, cfg)
+                if rows is not None:
+                    return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings)
+        except Exception:
+            pass  # native path is an optimization only; semantics live here
     with open(path, "r", newline="") as fh:
         rows = parse_kuzmin_rows(fh, cfg)
-    return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings)
+    return TripletDataset.from_rows(rows, n_ratings=cfg.n_ratings, arity=_arity(cfg))

@@ -1,10 +1,12 @@
-"""Packed triplet arrays — the device-resident dataset format (layer L1).
+"""Packed gene-tuple arrays — the device-resident dataset format (layer L1).
 
 The reference keeps the dataset as Python dicts and lists of triplets
 (SURVEY.md §2 L1).  The TPU-native format is three dense arrays, padded to a
 static shape so every jit compiles once:
 
-- ``triplets``: int32[N, 3] — dense gene ids per observation
+- ``triplets``: int32[N, arity] — dense gene ids per observation (arity 3
+  for trigenic rows, the reference's only mode; arity 2 for the digenic
+  rows the same Data S1 file carries, fit by the pairwise MMSBM family)
 - ``ratings``:  int32[N]    — rating class in [0, R)
 - ``weights``:  float32[N]  — 1.0 for real rows, 0.0 for padding
 
@@ -30,9 +32,14 @@ def _round_up(n: int, multiple: int) -> int:
 
 @dataclass
 class TripletDataset:
-    """A packed, optionally padded set of (gene, gene, gene, rating) rows."""
+    """A packed, optionally padded set of (gene, ..., gene, rating) rows.
 
-    triplets: np.ndarray          # int32 [N, 3]
+    ``triplets`` is int32[N, arity]: arity 3 for trigenic observations,
+    arity 2 for digenic pairs (same container, the EM engine dispatches on
+    the static column count).
+    """
+
+    triplets: np.ndarray          # int32 [N, arity]
     ratings: np.ndarray           # int32 [N]
     weights: np.ndarray           # float32 [N]; 0.0 marks padding rows
     n_genes: int
@@ -45,10 +52,15 @@ class TripletDataset:
         if self.weights is None:
             self.weights = np.ones(len(self.ratings), dtype=np.float32)
         self.weights = np.asarray(self.weights, dtype=np.float32)
-        assert self.triplets.ndim == 2 and self.triplets.shape[1] == 3
+        assert self.triplets.ndim == 2 and self.triplets.shape[1] in (2, 3)
         assert len(self.ratings) == len(self.triplets) == len(self.weights)
 
     # ------------------------------------------------------------------
+    @property
+    def arity(self) -> int:
+        """Genes per observation: 3 (trigenic) or 2 (digenic)."""
+        return int(self.triplets.shape[1])
+
     @property
     def n_rows(self) -> int:
         """Padded row count (the static shape)."""
@@ -95,7 +107,7 @@ class TripletDataset:
         return dataclasses.replace(
             self,
             triplets=np.concatenate(
-                [self.triplets, np.zeros((pad, 3), dtype=np.int32)]
+                [self.triplets, np.zeros((pad, self.arity), dtype=np.int32)]
             ),
             ratings=np.concatenate([self.ratings, np.zeros(pad, dtype=np.int32)]),
             weights=np.concatenate([self.weights, np.zeros(pad, dtype=np.float32)]),
@@ -114,24 +126,30 @@ class TripletDataset:
     # ------------------------------------------------------------------
     @staticmethod
     def from_rows(
-        rows: Sequence[Tuple[str, str, str, int]],
+        rows: Sequence[Tuple],
         n_ratings: int = 2,
         gene_names: Optional[Sequence[str]] = None,
+        arity: int = 3,
     ) -> "TripletDataset":
-        """Build from (gene_a, gene_b, gene_c, rating) name rows.
+        """Build from (gene, ..., gene, rating) name rows.
 
-        Ids are assigned by sorted gene name (content-derived, deterministic
-        across hosts and row orders).
+        Each row is ``arity`` gene names followed by an int rating (arity
+        inferred from the first row when rows are present).  Ids are
+        assigned by sorted gene name (content-derived, deterministic across
+        hosts and row orders).
         """
+        if rows:
+            arity = len(rows[0]) - 1
+        assert arity in (2, 3), arity
         if gene_names is None:
-            names = sorted({g for row in rows for g in row[:3]})
+            names = sorted({g for row in rows for g in row[:arity]})
         else:
             names = list(gene_names)
         index = {g: i for i, g in enumerate(names)}
         trip = np.array(
-            [[index[a], index[b], index[c]] for a, b, c, _ in rows], dtype=np.int32
-        ).reshape(-1, 3)
-        ratings = np.array([r for _, _, _, r in rows], dtype=np.int32)
+            [[index[g] for g in row[:arity]] for row in rows], dtype=np.int32
+        ).reshape(-1, arity)
+        ratings = np.array([row[arity] for row in rows], dtype=np.int32)
         return TripletDataset(
             triplets=trip,
             ratings=ratings,

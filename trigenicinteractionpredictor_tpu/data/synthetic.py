@@ -28,11 +28,15 @@ def sample_ground_truth(
     alpha_theta: float = 0.5,
     alpha_p: float = 0.5,
     seed: int = 0,
+    arity: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Draw (theta*[G,K], p*[K,K,K,R]) from Dirichlet priors."""
+    """Draw (theta*[G,K], p*[K,...,K,R] with ``arity`` K axes) from
+    Dirichlet priors."""
     rng = np.random.default_rng(seed)
     theta = rng.dirichlet(np.full(k, alpha_theta), size=n_genes).astype(np.float64)
-    p = rng.dirichlet(np.full(n_ratings, alpha_p), size=(k, k, k)).astype(np.float64)
+    p = rng.dirichlet(np.full(n_ratings, alpha_p), size=(k,) * arity).astype(
+        np.float64
+    )
     return theta, p
 
 
@@ -46,33 +50,35 @@ def sample_synthetic_dataset(
     seed: int = 0,
     theta: Optional[np.ndarray] = None,
     p: Optional[np.ndarray] = None,
+    arity: int = 3,
 ) -> Tuple[TripletDataset, np.ndarray, np.ndarray]:
-    """Sample triplets of distinct genes and ratings from the MMSBM.
+    """Sample gene tuples of distinct genes and ratings from the MMSBM.
 
     Returns (dataset, theta*, p*).  Rating sampling follows the §1.2
-    likelihood exactly: group memberships (zi, zj, ze) ~ theta rows, then
-    r ~ p[zi, zj, ze, :].
+    likelihood exactly: group memberships (one per gene slot) ~ theta rows,
+    then r ~ p[z..., :].  ``arity=2`` samples the pairwise (digenic)
+    family.
     """
     rng = np.random.default_rng(seed + 1)
     if theta is None or p is None:
         theta, p = sample_ground_truth(
-            n_genes, k, n_ratings, alpha_theta, alpha_p, seed
+            n_genes, k, n_ratings, alpha_theta, alpha_p, seed, arity=arity
         )
+    arity = p.ndim - 1
 
-    # Distinct genes per triplet via vectorized rejection.
-    trip = rng.integers(0, n_genes, size=(n_triplets, 3), dtype=np.int64)
-    bad = (
-        (trip[:, 0] == trip[:, 1])
-        | (trip[:, 0] == trip[:, 2])
-        | (trip[:, 1] == trip[:, 2])
-    )
+    # Distinct genes per tuple via vectorized rejection.
+    def _any_dup(t: np.ndarray) -> np.ndarray:
+        dup = np.zeros(t.shape[0], dtype=bool)
+        for i in range(arity):
+            for j in range(i + 1, arity):
+                dup |= t[:, i] == t[:, j]
+        return dup
+
+    trip = rng.integers(0, n_genes, size=(n_triplets, arity), dtype=np.int64)
+    bad = _any_dup(trip)
     while np.any(bad):
-        trip[bad] = rng.integers(0, n_genes, size=(int(bad.sum()), 3))
-        bad = (
-            (trip[:, 0] == trip[:, 1])
-            | (trip[:, 0] == trip[:, 2])
-            | (trip[:, 1] == trip[:, 2])
-        )
+        trip[bad] = rng.integers(0, n_genes, size=(int(bad.sum()), arity))
+        bad = _any_dup(trip)
 
     # Vectorized categorical draws via inverse-CDF on uniforms.
     def _draw(probs: np.ndarray) -> np.ndarray:
@@ -80,10 +86,8 @@ def sample_synthetic_dataset(
         u = rng.random(probs.shape[0])[:, None]
         return (u > cdf[:, :-1]).sum(axis=1).astype(np.int64)
 
-    zi = _draw(theta[trip[:, 0]])
-    zj = _draw(theta[trip[:, 1]])
-    ze = _draw(theta[trip[:, 2]])
-    ratings = _draw(p[zi, zj, ze])
+    zs = tuple(_draw(theta[trip[:, pos]]) for pos in range(arity))
+    ratings = _draw(p[zs])
 
     ds = TripletDataset(
         triplets=trip.astype(np.int32),
@@ -104,10 +108,14 @@ def write_kuzmin_like_tsv(
     p_cutoff: float = 0.05,
     tau_cutoff: float = 0.08,
 ) -> int:
-    """Write a Data-S1-shaped TSV (with digenic distractor rows and allele
-    suffixes) for loader round-trip tests.  Returns the number of trigenic
-    rows whose label binarizes to 1 under the default cutoffs."""
+    """Write a Data-S1-shaped TSV (with digenic rows and allele suffixes)
+    for loader round-trip tests.  Digenic rows carry the ho-delta control
+    (YDL227C) in one query slot, as in the real screen, so the digenic
+    loader mode can extract (query gene, array gene) pairs from them.
+    Returns the number of trigenic rows whose label binarizes to 1 under
+    the default cutoffs."""
     rng = np.random.default_rng(seed)
+    control = "YDL227C"
     genes = [f"YA{i:03d}W" for i in range(n_genes)]
     header = [
         "Query strain ID",
@@ -129,7 +137,8 @@ def write_kuzmin_like_tsv(
             pval = float(rng.random() * 0.2)
             suffix_a = "-del1" if rng.random() < 0.3 else ""
             suffix_b = "_ts2" if rng.random() < 0.3 else ""
-            query = f"{genes[a].lower()}{suffix_a}+{genes[b].lower()}{suffix_b}"
+            second = genes[b] if is_tri else control
+            query = f"{genes[a].lower()}{suffix_a}+{second.lower()}{suffix_b}"
             row = [
                 query,
                 genes[c].lower(),

@@ -25,7 +25,10 @@ class ModelState:
     """Parameters of the tensorial MMSBM.
 
     theta: f32[..., G, K]    per-gene mixed membership (rows on the simplex)
-    p:     f32[..., K, K, K, R] group-triple rating distributions
+    p:     f32[..., K, ..., K, R] group-tuple rating distributions — one K
+           axis per gene position: [K, K, K, R] for the trigenic (3-way)
+           family, [K, K, R] for the digenic (2-way) family of the original
+           pairwise MMSBM recommender (SURVEY.md §0 [method]).
 
     Leading batch dims (restart ensembles via vmap) are allowed on both.
     """
@@ -45,6 +48,12 @@ class ModelState:
     def n_ratings(self) -> int:
         return self.p.shape[-1]
 
+    @property
+    def arity(self) -> int:
+        """Gene positions per observation (number of K axes on p)."""
+        n_batch = self.theta.ndim - 2
+        return self.p.ndim - n_batch - 1
+
 
 def init_state(
     key: jax.Array,
@@ -53,6 +62,7 @@ def init_state(
     n_ratings: int = 2,
     alpha: float = 1.0,
     dtype=jnp.float32,
+    arity: int = 3,
 ) -> ModelState:
     """Random simplex initialization for one restart.
 
@@ -69,6 +79,6 @@ def init_state(
         k_theta, jnp.full((k,), alpha, dtype=jnp.float32), shape=(n_genes,)
     )
     p = jax.random.dirichlet(
-        k_p, jnp.full((n_ratings,), alpha, dtype=jnp.float32), shape=(k, k, k)
+        k_p, jnp.full((n_ratings,), alpha, dtype=jnp.float32), shape=(k,) * arity
     )
     return ModelState(theta=theta.astype(dtype), p=p.astype(dtype))

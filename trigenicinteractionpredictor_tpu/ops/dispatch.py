@@ -47,13 +47,16 @@ def resolve_stats_fn(
     n_genes: int,
     k: int,
     tile_b: int = 512,
+    arity: int = 3,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
     The tile size shrinks automatically for large K/G working sets.
-    Raises on backend='pallas' when no tile fits.
+    Raises on backend='pallas' when no tile fits.  The digenic (arity-2)
+    family always uses the jnp path: its sweep is K^2-scale and nowhere
+    near the MXU roofline, so a hand kernel would buy nothing.
     """
-    if backend in (None, "", "jnp"):
+    if backend in (None, "", "jnp") or arity != 3:
         return None
     tile = _fit_tile(n_genes, k, tile_b)
     if backend == "pallas":

@@ -81,14 +81,15 @@ class SweepStats(NamedTuple):
 
 
 def _gather_thetas(theta: jax.Array, triplets: jax.Array):
-    th1 = jnp.take(theta, triplets[:, 0], axis=0)
-    th2 = jnp.take(theta, triplets[:, 1], axis=0)
-    th3 = jnp.take(theta, triplets[:, 2], axis=0)
-    return th1, th2, th3
+    """Per-position theta rows: a tuple of [B, K] arrays, one per gene slot."""
+    return tuple(
+        jnp.take(theta, triplets[:, pos], axis=0)
+        for pos in range(triplets.shape[1])
+    )
 
 
 def _scatter_add_rows(
-    vals3: Tuple[jax.Array, jax.Array, jax.Array],
+    vals: Tuple[jax.Array, ...],
     triplets: jax.Array,
     n_segments: int,
     impl: str = "auto",
@@ -97,20 +98,21 @@ def _scatter_add_rows(
 
     TPUs serialize random scatters — measured 634 ms vs 24 ms per sweep at
     N=131k on the axon chip — so the accelerator path expresses the
-    scatter-add as three one-hot matmuls (MXU-shaped [G, B] x [B, K]; XLA
-    fuses the one-hot so the [B, G] operand is never materialized).  CPUs
-    do the opposite: native scatter is fast, dense one-hot matmul is not.
+    scatter-add as per-position one-hot matmuls (MXU-shaped [G, B] x [B, K];
+    XLA fuses the one-hot so the [B, G] operand is never materialized).
+    CPUs do the opposite: native scatter is fast, dense one-hot matmul is
+    not.
     """
     if impl == "auto":
         impl = "segment_sum" if jax.default_backend() == "cpu" else "onehot"
     if impl == "segment_sum":
         seg_ids = triplets.T.reshape(-1)
-        seg_vals = jnp.concatenate(vals3, axis=0)
+        seg_vals = jnp.concatenate(vals, axis=0)
         return jax.ops.segment_sum(seg_vals, seg_ids, num_segments=n_segments)
     acc = None
-    for pos in range(3):
-        oh = jax.nn.one_hot(triplets[:, pos], n_segments, dtype=vals3[pos].dtype)
-        term = jnp.matmul(oh.T, vals3[pos], precision=jax.lax.Precision.DEFAULT)
+    for pos in range(len(vals)):
+        oh = jax.nn.one_hot(triplets[:, pos], n_segments, dtype=vals[pos].dtype)
+        term = jnp.matmul(oh.T, vals[pos], precision=jax.lax.Precision.DEFAULT)
         acc = term if acc is None else acc + term
     return acc
 
@@ -125,8 +127,15 @@ def em_sufficient_stats(
     """E-step + M-accumulate fused over one batch (no normalization).
 
     Replaces the body of the reference's ``make_iteration()`` up to the
-    normalize/swap tail (SURVEY.md §4.2).
+    normalize/swap tail (SURVEY.md §4.2).  Dispatches on the static tuple
+    width: arity-3 (trigenic, p[K,K,K,R]) below, arity-2 (digenic,
+    p[K,K,R] — the original pairwise MMSBM family) in
+    :func:`pair_em_sufficient_stats`.
     """
+    if batch.triplets.shape[1] == 2:
+        return pair_em_sufficient_stats(
+            theta, p, batch, precision=precision, scatter_impl=scatter_impl
+        )
     G, K = theta.shape
     R = p.shape[-1]
     B = batch.triplets.shape[0]
@@ -177,6 +186,65 @@ def em_sufficient_stats(
     return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=loglik)
 
 
+def pair_em_sufficient_stats(
+    theta: jax.Array,
+    p: jax.Array,
+    batch: Batch,
+    precision=jax.lax.Precision.HIGHEST,
+    scatter_impl: str = "auto",
+) -> SweepStats:
+    """Arity-2 EM sweep stats: the digenic / pairwise MMSBM family.
+
+    Same §1.2 equations with one fewer gene position — p is [K, K, R] and
+    the responsibility tensor omega_t(k, l) is, as in the 3-way path, never
+    materialized:
+
+        A1[b,k] = sum_l theta2[b,l] p[k,l,r_b]     (matmul [B,K]x[K,K R])
+        A2[b,l] = sum_k theta1[b,k] p[k,l,r_b]
+        D[b]    = sum_k theta1[b,k] A1[b,k]
+        p_hat[k,l,r] = p[k,l,r] * sum_{b: r_b=r} theta1 theta2 w/D
+                                                   (matmul [K,B]x[B,K R])
+
+    At K^2 scale the XLA path keeps the MXU far from saturated already, so
+    there is no Pallas kernel for this family (ops/dispatch.py returns the
+    jnp path for arity 2).
+    """
+    G, K = theta.shape
+    R = p.shape[-1]
+    B = batch.triplets.shape[0]
+    r = batch.ratings
+    w = batch.weights.astype(theta.dtype)
+
+    th1, th2 = _barrier(_gather_thetas(theta, batch.triplets))
+
+    # A1_all[b,k,r] = sum_l th2[b,l] p[k,l,r];  A2_all[b,l,r] from th1.
+    p_l = jnp.transpose(p, (1, 0, 2)).reshape(K, K * R)
+    A1_all = jnp.matmul(th2, p_l, precision=precision).reshape(B, K, R)
+    A2_all = jnp.matmul(th1, p.reshape(K, K * R), precision=precision).reshape(
+        B, K, R
+    )
+    A1 = jnp.take_along_axis(A1_all, r[:, None, None], axis=2)[..., 0]
+    A2 = jnp.take_along_axis(A2_all, r[:, None, None], axis=2)[..., 0]
+    D = jnp.einsum("bk,bk->b", th1, A1, precision=precision)
+    A1, A2, D = _barrier((A1, A2, D))
+
+    scale = w / (D + _EPS)                                         # [B]
+    s1 = th1 * A1 * scale[:, None]
+    s2 = th2 * A2 * scale[:, None]
+    theta_hat = _scatter_add_rows((s1, s2), batch.triplets, G, scatter_impl)
+
+    # p sufficient statistics: one [K, B] x [B, K*R] matmul.
+    onehot_r = jax.nn.one_hot(r, R, dtype=theta.dtype)             # [B, R]
+    th2r = (th2[:, :, None] * onehot_r[:, None, :]).reshape(B, K * R)
+    th1s = th1 * scale[:, None]
+    th1s, th2r = _barrier((th1s, th2r))
+    S = jnp.matmul(th1s.T, th2r, precision=precision)              # [K, K*R]
+    p_hat = p * S.reshape(K, K, R)
+
+    loglik = jnp.sum(w * jnp.log(D + _EPS))
+    return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=loglik)
+
+
 def normalize_from_stats(
     state: ModelState,
     stats: SweepStats,
@@ -222,11 +290,22 @@ def log_likelihood(
 
     The per-triplet probability is exactly the E-step denominator D_b
     (SURVEY.md §8.3), so this shares the T-matmul shape with the sweep.
+    Handles both the trigenic (arity-3) and digenic (arity-2) families.
     """
     theta, p = state.theta, state.p
     G, K = theta.shape
     R = p.shape[-1]
     B = batch.triplets.shape[0]
+    w = batch.weights.astype(theta.dtype)
+    if batch.triplets.shape[1] == 2:
+        th1, th2 = _barrier(_gather_thetas(theta, batch.triplets))
+        p_l = jnp.transpose(p, (1, 0, 2)).reshape(K, K * R)
+        A1_all = jnp.matmul(th2, p_l, precision=precision).reshape(B, K, R)
+        A1 = jnp.take_along_axis(
+            A1_all, batch.ratings[:, None, None], axis=2
+        )[..., 0]
+        D = jnp.einsum("bk,bk->b", th1, A1, precision=precision)
+        return jnp.sum(w * jnp.log(D + _EPS))
     th1, th2, th3 = _barrier(_gather_thetas(theta, batch.triplets))
     p_m = jnp.transpose(p, (2, 0, 1, 3)).reshape(K, K * K * R)
     T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, K, R)
@@ -234,5 +313,4 @@ def log_likelihood(
         jnp.take_along_axis(T_all, batch.ratings[:, None, None, None], axis=3)[..., 0]
     )
     D = jnp.einsum("bk,bkl,bl->b", th1, T, th2, precision=precision)
-    w = batch.weights.astype(theta.dtype)
     return jnp.sum(w * jnp.log(D + _EPS))

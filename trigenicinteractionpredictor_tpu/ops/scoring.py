@@ -21,16 +21,23 @@ def predict_proba(
     triplets: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """P(r | i, j, e) for every row: f32[B, R].
+    """P(r | genes) for every row: f32[B, R].
 
-    score[b, r] = sum_klm theta1[b,k] theta2[b,l] theta3[b,m] p[k,l,m,r]
-    computed as W[B,K^2] @ p[K^2, K*R] contracted with theta3 — O(B K^2)
-    memory, MXU-shaped.
+    Trigenic: score[b, r] = sum_klm theta1[b,k] theta2[b,l] theta3[b,m]
+    p[k,l,m,r], computed as W[B,K^2] @ p[K^2, K*R] contracted with theta3 —
+    O(B K^2) memory, MXU-shaped.  Digenic rows ([B, 2]) use the pairwise
+    family's p[K, K, R] with one fewer contraction.
     """
     theta, p = state.theta, state.p
     K = theta.shape[-1]
     R = p.shape[-1]
     B = triplets.shape[0]
+    if triplets.shape[1] == 2:
+        th1, th2 = _barrier(_gather_thetas(theta, triplets))
+        A2_all = jnp.matmul(th1, p.reshape(K, K * R), precision=precision)
+        return jnp.einsum(
+            "blr,bl->br", A2_all.reshape(B, K, R), th2, precision=precision
+        )
     # _barrier: see ops/em.py — keeps gathers/outer products out of the
     # matmul fusion cluster (axon backend miscompile at large B).
     th1, th2, th3 = _barrier(_gather_thetas(theta, triplets))

@@ -67,7 +67,8 @@ def write_text_dump(
     """Reference-style per-sample text outputs.
 
     Layout per sample s: ``theta_s{S}.txt`` (one gene per line: name then K
-    memberships), ``p_s{S}.txt`` (one line per (k,l,m): indices then R
+    memberships), ``p_s{S}.txt`` (one line per group tuple — (k,l,m) for the
+    trigenic family, (k,l) for the digenic family — indices then R
     probabilities), and a shared ``likelihood.txt`` trace.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -76,18 +77,16 @@ def write_text_dump(
     if theta.ndim == 2:  # single sample -> add the sample axis
         theta, p = theta[None], p[None]
     S, G, K = theta.shape
-    R = p.shape[-1]
     for s in range(S):
         with open(os.path.join(out_dir, f"theta_s{s}.txt"), "w") as fh:
             for g in range(G):
                 name = gene_names[g] if gene_names else str(g)
                 fh.write(name + "\t" + "\t".join(f"{v:.8f}" for v in theta[s, g]) + "\n")
         with open(os.path.join(out_dir, f"p_s{s}.txt"), "w") as fh:
-            for k in range(p.shape[1]):
-                for l in range(p.shape[2]):
-                    for m in range(p.shape[3]):
-                        probs = "\t".join(f"{v:.8f}" for v in p[s, k, l, m])
-                        fh.write(f"{k}\t{l}\t{m}\t{probs}\n")
+            for cell in np.ndindex(p.shape[1:-1]):
+                probs = "\t".join(f"{v:.8f}" for v in p[(s, *cell)])
+                idx = "\t".join(str(i) for i in cell)
+                fh.write(f"{idx}\t{probs}\n")
     with open(os.path.join(out_dir, "likelihood.txt"), "w") as fh:
         for row in np.atleast_2d(np.asarray(ll_trace, dtype=np.float64)):
             fh.write("\t".join(f"{v:.6f}" for v in np.atleast_1d(row)) + "\n")

@@ -100,12 +100,18 @@ def fit(
     if S % ens_size != 0:
         raise ValueError(f"samples={S} must divide by ensemble axis {ens_size}")
 
-    # Resolve the compute backend (jnp vs Pallas fused kernel).
+    # Resolve the compute backend (jnp vs Pallas fused kernel); the digenic
+    # (arity-2) family always takes the jnp path.
+    arity = train_ds.arity
     if stats_fn is None:
         from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
 
         stats_fn = resolve_stats_fn(
-            cfg.engine.backend, train_ds.n_genes, tcfg.k, cfg.engine.tile_b
+            cfg.engine.backend,
+            train_ds.n_genes,
+            tcfg.k,
+            cfg.engine.tile_b,
+            arity=arity,
         )
         if stats_fn is not None:
             log.log("backend", kernel="pallas", tile_b=cfg.engine.tile_b)
@@ -138,7 +144,12 @@ def fit(
         keys = jax.random.split(jax.random.key(tcfg.seed), S)
         states = jax.vmap(
             lambda k: init_state(
-                k, ds.n_genes, tcfg.k, ds.n_ratings, alpha=tcfg.init_alpha
+                k,
+                ds.n_genes,
+                tcfg.k,
+                ds.n_ratings,
+                alpha=tcfg.init_alpha,
+                arity=arity,
             )
         )(keys)
 
