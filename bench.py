@@ -83,15 +83,15 @@ def measure_engine() -> float:
     )
     degrees = replicate(mesh, jnp.asarray(ds.degrees()))
 
-    stats_fn = resolve_stats_fn("auto", G, K)
-    log(f"backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
-    step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
     # The production step fit() runs: ensemble-stacked states, psum'd stats,
     # likelihood_freq (=10) sweeps scanned device-side per dispatch.
     chunk = 10
-    step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
 
     def run(n_samples: int, reps: int = 3) -> float:
+        stats_fn = resolve_stats_fn("auto", G, K, n_samples=n_samples)
+        log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
+        step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
+        step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
         keys = jax.random.split(jax.random.key(0), n_samples)
         states0 = shard_ensemble(
             mesh, jax.vmap(lambda k: init_state(k, G, K, R))(keys)
@@ -128,10 +128,15 @@ def measure_engine() -> float:
 def measure_baseline() -> float:
     from python_reference import measure_triplets_per_sec
 
-    tps = measure_triplets_per_sec(
-        n_triplets=200, n_genes=G, k=K, n_ratings=R, min_seconds=2.0
+    # Best of 3: host load varies 3-4x run to run, and an understated
+    # baseline would overstate vs_baseline.
+    tps = max(
+        measure_triplets_per_sec(
+            n_triplets=200, n_genes=G, k=K, n_ratings=R, min_seconds=1.5
+        )
+        for _ in range(3)
     )
-    log(f"pure-Python reference-shaped EM: {tps:,.0f} triplets/s (1 CPU core)")
+    log(f"pure-Python reference-shaped EM: {tps:,.0f} triplets/s (1 CPU core, best of 3)")
     return tps
 
 

@@ -12,8 +12,15 @@ from trigenicinteractionpredictor_tpu.train.trainer import fit
 
 
 def test_kernel_fits_budget():
-    assert kernel_fits(1300, 10, 512)          # Kuzmin scale
+    assert kernel_fits(1000, 10, 512)          # bench scale, on-chip validated
+    assert kernel_fits(1300, 10, 256)          # Kuzmin gene count, smaller tile
+    assert not kernel_fits(1300, 10, 512)      # 16 MB of one-hots alone
     assert not kernel_fits(200_000, 10, 512)   # too many genes
+    # Wide ensembles eventually shrink the tile (S-wide lane streams);
+    # S=10 at bench scale still fits through the production scan path.
+    assert kernel_fits(1000, 10, 512, n_samples=10)
+    assert not kernel_fits(1000, 10, 512, n_samples=24)
+    assert kernel_fits(1000, 10, 256, n_samples=24)
 
 
 def test_resolve_auto_on_cpu_is_jnp():

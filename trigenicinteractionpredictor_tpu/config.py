@@ -102,11 +102,9 @@ class EngineConfig:
     backend: str = "auto"            # 'jnp' | 'pallas' | 'auto'
     # Pad the triplet batch length to a multiple of this (shard/tile friendly).
     batch_pad_multiple: int = 512
-    # Pallas tile size along the triplet axis.
+    # Pallas tile size along the triplet axis (upper bound; dispatch
+    # auto-shrinks it to fit VMEM at large K/G/ensemble widths).
     tile_b: int = 512
-    param_dtype: str = "float32"
-    # Accumulate the log-likelihood in float64 on CPU parity runs.
-    highp_likelihood: bool = False
 
 
 @dataclass(frozen=True)

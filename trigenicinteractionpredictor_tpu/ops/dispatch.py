@@ -15,28 +15,39 @@ import jax
 
 from trigenicinteractionpredictor_tpu.ops.em import em_sufficient_stats
 
-# Per-tile VMEM budget heuristic.  Mosaic reuses dead buffers, so the naive
-# sum of live tensors overestimates badly — K=50/G=1000/tile=256 sums to
-# ~15 MB yet compiles and runs (validated on-chip at 20.4M triplets/s).
-# The model below counts the two genuinely co-live groups (one-hots +
-# persistent accumulators) plus one K^2-wide tile, against a loose budget.
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Per-tile VMEM budget heuristic, calibrated against Mosaic's reported
+# scoped-stack sizes on the axon chip:
+# - K=10/G=1000/tile=512/S=8 and S=10 compile and run through the
+#   production scan/shard_map step (BASELINE.md: 158M/s and 166M/s);
+# - the same S=10 kernel OOMs at 16.36 MB of Mosaic stack when compiled
+#   through a bare jit with forced operand layouts — if you call
+#   pallas_em_ensemble_stats outside the trainer/bench path and hit a VMEM
+#   error, drop tile_b to 256;
+# - K=50/G=1000/tile=256/S=1 compiles and runs (20.4M triplets/s);
+# - K=10/G=1300/tile=512 estimates 15.9 MB of one-hots alone — rejected.
+# The model counts the one-hot trio twice (the gather operands and the
+# transposed scatter operands co-exist around the output matmuls) plus the
+# S-wide lane streams.
+_VMEM_BUDGET = int(14.5 * 1024 * 1024)
 
 
 def kernel_fits(n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1) -> bool:
     s = max(n_samples, 1)
-    onehot = 3 * tile_b * n_genes * 4                 # oh1..oh3 [Bt, G]
+    onehot = 2 * 3 * tile_b * n_genes * 4             # oh1..oh3 [Bt, G], x2
     k2_tile = tile_b * k * k * 2 * 4                  # widest [Bt, R*K^2] tile
+    lanes = 3 * tile_b * s * k * 4 * 2                # th_all + s_all streams
     theta = n_genes * s * k * 4 * 2                   # theta + theta_hat accum
     p_views = 2 * s * k * k * k * 2 * 4               # p_m + p_kk (R~2)
-    return onehot + k2_tile + theta + p_views < _VMEM_BUDGET
+    return onehot + k2_tile + lanes + theta + p_views < _VMEM_BUDGET
 
 
-def _fit_tile(n_genes: int, k: int, tile_b: int) -> Optional[int]:
+def _fit_tile(
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1
+) -> Optional[int]:
     """Largest tile <= tile_b that fits VMEM (halving, floor 128)."""
     t = tile_b
     while t >= 128:
-        if kernel_fits(n_genes, k, t):
+        if kernel_fits(n_genes, k, t, n_samples):
             return t
         t //= 2
     return None
@@ -48,6 +59,7 @@ def resolve_stats_fn(
     k: int,
     tile_b: int = 512,
     arity: int = 3,
+    n_samples: int = 1,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
@@ -58,7 +70,7 @@ def resolve_stats_fn(
     """
     if backend in (None, "", "jnp") or arity != 3:
         return None
-    tile = _fit_tile(n_genes, k, tile_b)
+    tile = _fit_tile(n_genes, k, tile_b, n_samples)
     if backend == "pallas":
         if tile is None:
             raise ValueError(

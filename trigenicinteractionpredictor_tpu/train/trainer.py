@@ -112,6 +112,7 @@ def fit(
             tcfg.k,
             cfg.engine.tile_b,
             arity=arity,
+            n_samples=S // ens_size,  # restarts resident per device
         )
         if stats_fn is not None:
             log.log("backend", kernel="pallas", tile_b=cfg.engine.tile_b)
