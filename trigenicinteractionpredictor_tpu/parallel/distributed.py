@@ -52,7 +52,12 @@ def maybe_initialize(
     want_multihost = coordinator_address is not None or (
         os.environ.get("JAX_NUM_PROCESSES") not in (None, "", "1")
     )
-    if want_multihost and jax.process_count() == 1:
+    # CRITICAL: decide via jax.distributed's own state, NOT jax.process_count()
+    # — the latter initializes the XLA backend, after which
+    # jax.distributed.initialize() refuses to run (it must precede any
+    # backend-touching call).
+    already = jax.distributed.is_initialized()
+    if want_multihost and not already:
         kwargs = {}
         if coordinator_address:
             kwargs["coordinator_address"] = coordinator_address
