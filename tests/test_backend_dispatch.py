@@ -23,6 +23,63 @@ def test_kernel_fits_budget():
     assert kernel_fits(1000, 10, 256, n_samples=24)
 
 
+def test_large_k_single_restart_kernel_fallback():
+    # Ensemble kernel does not fit at K=50 x S=10, but the per-restart
+    # kernel does: dispatch hands back a non-ensemble fn for the
+    # sequential-restart path (lax.map past K >= 32).
+    fn = resolve_stats_fn("pallas", 1000, 50, n_samples=10)
+    assert fn is not None
+    assert not getattr(fn, "ensemble", False)
+    # Small K never takes the fallback: the ensemble kernel fits.
+    fn_small = resolve_stats_fn("pallas", 1000, 10, n_samples=8)
+    assert getattr(fn_small, "ensemble", False)
+
+
+def test_serial_restart_map_matches_vmap():
+    """K >= 32 flips restarts from vmap to lax.map — results identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models import init_state
+    from trigenicinteractionpredictor_tpu.ops.em import Batch, em_step
+    from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
+    from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+        _SERIAL_RESTART_K,
+        make_sharded_train_step,
+        replicate,
+        shard_batch,
+        shard_ensemble,
+    )
+
+    k = _SERIAL_RESTART_K
+    ds, _, _ = sample_synthetic_dataset(256, 20, k, seed=2)
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+    deg = jnp.asarray(ds.degrees())
+    states = jax.vmap(lambda kk: init_state(kk, ds.n_genes, k, 2))(
+        jax.random.split(jax.random.key(1), 2)
+    )
+    ref_states, ref_ll = jax.vmap(em_step, in_axes=(0, None, None))(
+        states, batch, deg
+    )
+    mesh = make_mesh(data=2, ensemble=1)
+    step = make_sharded_train_step(mesh)
+    new_states, ll = step(
+        shard_ensemble(mesh, states), shard_batch(mesh, batch), replicate(mesh, deg)
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ref_ll), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_states.theta), np.asarray(ref_states.theta), atol=1e-5
+    )
+
+
 def test_resolve_auto_on_cpu_is_jnp():
     assert resolve_stats_fn("auto", 1000, 10) is None  # tests run on CPU
     assert resolve_stats_fn("jnp", 1000, 10) is None

@@ -39,9 +39,11 @@ def restart_score_agreement(
     a scalar consistency index for the ensemble (1.0 = every restart ranks
     the probe set identically).
     """
+    from trigenicinteractionpredictor_tpu.ops.em import map_restarts
+
     scores = np.asarray(
-        jax.vmap(lambda st: predict_interaction(st, tuples, interact_rating))(
-            states
+        map_restarts(
+            lambda st: predict_interaction(st, tuples, interact_rating), states
         ),
         dtype=np.float64,
     )  # [S, B]

@@ -66,6 +66,15 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         "--debug-nans", action="store_true",
         help="raise on the first NaN produced on device (jax_debug_nans)",
     )
+    sub.add_argument(
+        "--minibatch", type=int, default=0,
+        help="stepwise EM: update params every this many rows (0 = classic "
+        "full-sweep EM; -i counts epochs in this mode)",
+    )
+    sub.add_argument(
+        "--kappa", type=float, default=0.6,
+        help="stepwise EM statistics decay exponent, in (0.5, 1]",
+    )
 
 
 def _make_config(args, n_folds: int = 1):
@@ -100,6 +109,8 @@ def _make_config(args, n_folds: int = 1):
             seed=args.seed,
             checkpoint_every=args.checkpoint_every,
             debug_nans=getattr(args, "debug_nans", False),
+            minibatch=getattr(args, "minibatch", 0),
+            stepwise_kappa=getattr(args, "kappa", 0.6),
         ),
         split=SplitConfig(
             test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed

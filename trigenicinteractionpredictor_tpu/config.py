@@ -67,6 +67,17 @@ class TrainConfig:
     # Debug mode: raise on the first NaN produced on device (jax_debug_nans)
     # — the CI-grade sanitizer for this workload (SURVEY.md §6).
     debug_nans: bool = False
+    # Stepwise (incremental/minibatch) EM: update parameters after every
+    # ``minibatch`` rows instead of once per full sweep (0 = classic EM).
+    # The mode for data too large for full-batch sweeps (streaming /
+    # beyond-HBM); at HBM-resident scale classic EM through the Pallas
+    # kernel is faster (BASELINE.md).  Per-update monotonicity is not
+    # guaranteed.  ``sweeps`` counts epochs in this mode.
+    minibatch: int = 0
+    # Robbins-Monro decay of the running-statistics weight:
+    # rho_t = (stepwise_t0 + t)^(-stepwise_kappa), kappa in (0.5, 1].
+    stepwise_kappa: float = 0.6
+    stepwise_t0: float = 2.0
 
 
 @dataclass(frozen=True)
@@ -105,6 +116,10 @@ class EngineConfig:
     # Pallas tile size along the triplet axis (upper bound; dispatch
     # auto-shrinks it to fit VMEM at large K/G/ensemble widths).
     tile_b: int = 512
+    # Row-chunk size for the jnp/XLA path and likelihood passes (0 = off).
+    # Bounds XLA fusion tiles at large K, where the per-rating gather over
+    # the whole [B, K, K] tensor exceeds the 16 MB scoped-VMEM limit.
+    jnp_row_chunk: int = 16384
 
 
 @dataclass(frozen=True)

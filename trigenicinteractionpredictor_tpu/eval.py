@@ -17,7 +17,11 @@ import numpy as np
 
 from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
 from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
-from trigenicinteractionpredictor_tpu.ops.em import Batch, log_likelihood
+from trigenicinteractionpredictor_tpu.ops.em import (
+    Batch,
+    log_likelihood,
+    map_restarts,
+)
 from trigenicinteractionpredictor_tpu.ops.metrics import auc, average_precision
 from trigenicinteractionpredictor_tpu.ops.scoring import (
     ensemble_predict_interaction,
@@ -73,9 +77,13 @@ def evaluate(
     ens_ap = float(average_precision(ens_scores, labels, weights))
 
     # Held-out log-likelihood per sample (BASELINE config 3 reports this).
+    # map_restarts + row_chunk: large-K graphs crash/overflow when vmapped
+    # or fused whole (ops/em.py SERIAL_RESTART_K).
     test_batch = Batch(triplets=trips, ratings=labels, weights=weights)
     heldout_ll = np.asarray(
-        jax.vmap(lambda st: log_likelihood(st, test_batch))(states_j),
+        map_restarts(
+            lambda st: log_likelihood(st, test_batch, row_chunk=16384), states_j
+        ),
         dtype=np.float64,
     )
 

@@ -71,16 +71,27 @@ def resolve_stats_fn(
     if backend in (None, "", "jnp") or arity != 3:
         return None
     tile = _fit_tile(n_genes, k, tile_b, n_samples)
+    # Large-K fallback: the S-wide ensemble kernel may not fit VMEM while
+    # the single-restart kernel does.  The sharded step runs restarts as a
+    # sequential lax.map past K >= 32 (parallel/sharded_em.py), so handing
+    # it the per-restart kernel keeps the MXU path (measured 20.4M
+    # triplets/s at K=50 vs 1.4M on the chunked jnp path).
+    tile1 = _fit_tile(n_genes, k, tile_b, 1) if tile is None and k >= 32 else None
     if backend == "pallas":
-        if tile is None:
-            raise ValueError(
-                f"pallas kernel does not fit VMEM at G={n_genes}, K={k}; "
-                "use backend='jnp'"
-            )
-        return _pallas_fn(tile)
-    if backend == "auto":
-        if jax.default_backend() == "tpu" and tile is not None:
+        if tile is not None:
             return _pallas_fn(tile)
+        if tile1 is not None:
+            return _pallas_single_fn(tile1)
+        raise ValueError(
+            f"pallas kernel does not fit VMEM at G={n_genes}, K={k}; "
+            "use backend='jnp'"
+        )
+    if backend == "auto":
+        if jax.default_backend() == "tpu":
+            if tile is not None:
+                return _pallas_fn(tile)
+            if tile1 is not None:
+                return _pallas_single_fn(tile1)
         return None
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -93,3 +104,12 @@ def _pallas_fn(tile_b: int) -> Callable:
     fn = functools.partial(pallas_em_ensemble_stats, tile_b=tile_b)
     fn.ensemble = True  # one call with stacked restarts (sharded_em.py)
     return fn
+
+
+def _pallas_single_fn(tile_b: int) -> Callable:
+    """Per-restart kernel (no .ensemble attr -> mapped by the caller)."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+        pallas_em_sufficient_stats,
+    )
+
+    return functools.partial(pallas_em_sufficient_stats, tile_b=tile_b)

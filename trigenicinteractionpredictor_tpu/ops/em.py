@@ -59,6 +59,23 @@ _EPS = 1e-30
 _barrier = jax.lax.optimization_barrier
 
 
+# vmap-over-restarts at large K makes XLA plan S copies of the K^3-scale
+# (or [B, K^2]) intermediates at once; at K=50/S=10 the axon AOT compile
+# helper crashes outright.  Past this K every restart-mapped computation
+# (EM stats, likelihood, scoring) runs as a sequential lax.map instead —
+# each restart already saturates the chip.
+SERIAL_RESTART_K = 32
+
+
+def map_restarts(f, states):
+    """Apply ``f`` over a restart-stacked pytree: vmap, or lax.map at
+    large K (see SERIAL_RESTART_K)."""
+    theta = states.theta if hasattr(states, "theta") else states[0]
+    if theta.shape[-1] >= SERIAL_RESTART_K and theta.shape[0] > 1:
+        return jax.lax.map(f, states)
+    return jax.vmap(f)(states)
+
+
 class Batch(NamedTuple):
     """Device-side view of a packed triplet shard (see data/packing.py)."""
 
@@ -117,12 +134,24 @@ def _scatter_add_rows(
     return acc
 
 
+def _row_chunks(batch: Batch, row_chunk: int) -> Tuple[int, int]:
+    """Pick an effective chunk size dividing the (padded) batch length."""
+    B = batch.triplets.shape[0]
+    rc = min(row_chunk, B)
+    while B % rc != 0 and rc > 512:
+        rc //= 2
+    if B % rc != 0:
+        return B, 1
+    return rc, B // rc
+
+
 def em_sufficient_stats(
     theta: jax.Array,
     p: jax.Array,
     batch: Batch,
     precision=jax.lax.Precision.HIGHEST,
     scatter_impl: str = "auto",
+    row_chunk: int = 0,
 ) -> SweepStats:
     """E-step + M-accumulate fused over one batch (no normalization).
 
@@ -131,11 +160,39 @@ def em_sufficient_stats(
     width: arity-3 (trigenic, p[K,K,K,R]) below, arity-2 (digenic,
     p[K,K,R] — the original pairwise MMSBM family) in
     :func:`pair_em_sufficient_stats`.
+
+    ``row_chunk`` > 0 processes the batch in row chunks under ``lax.scan``,
+    summing the chunk statistics (exact — the stats are linear in rows).
+    Needed at large K on the XLA path: the axon compiler fuses the
+    per-rating gather over the whole [B, K, K] tensor and blows the 16 MB
+    scoped-VMEM limit (observed at K=50, B=105k: a 27.3 MB fusion tile).
     """
     if batch.triplets.shape[1] == 2:
         return pair_em_sufficient_stats(
             theta, p, batch, precision=precision, scatter_impl=scatter_impl
         )
+    if row_chunk and batch.triplets.shape[0] > row_chunk:
+        rc, n = _row_chunks(batch, row_chunk)
+        if n > 1:
+            chunks = Batch(
+                triplets=batch.triplets.reshape(n, rc, 3),
+                ratings=batch.ratings.reshape(n, rc),
+                weights=batch.weights.reshape(n, rc),
+            )
+
+            def body(acc, mb):
+                s = em_sufficient_stats(
+                    theta, p, mb, precision=precision, scatter_impl=scatter_impl
+                )
+                return jax.tree.map(jnp.add, acc, s), None
+
+            init = SweepStats(
+                theta_hat=jnp.zeros_like(theta),
+                p_hat=jnp.zeros_like(p),
+                loglik=jnp.zeros((), theta.dtype),
+            )
+            acc, _ = jax.lax.scan(body, init, chunks)
+            return acc
     G, K = theta.shape
     R = p.shape[-1]
     B = batch.triplets.shape[0]
@@ -249,16 +306,27 @@ def normalize_from_stats(
     state: ModelState,
     stats: SweepStats,
     degrees: jax.Array,
+    theta_norm: str = "degree",
 ) -> ModelState:
     """M-step normalization (the tail of the reference's sweep).
 
     theta rows divide by the gene's *training* degree d(g) — genes absent
     from the training split keep their old row (SURVEY.md §8.4 risk 6).
     p cells normalize over ratings — cells with no mass keep their old value.
+
+    ``theta_norm="rowsum"`` divides each theta row by its own sum instead.
+    For exact full-batch statistics the two coincide (each observation
+    containing g contributes total responsibility 1 to g's row, so the row
+    sums to d(g)); for stepwise EM's exponentially averaged minibatch
+    statistics only the row-sum form keeps rows on the simplex.
     """
     deg = degrees.astype(state.theta.dtype)
-    theta_new = stats.theta_hat / jnp.maximum(deg, 1.0)[:, None]
-    theta = jnp.where((deg > 0)[:, None], theta_new, state.theta)
+    if theta_norm == "rowsum":
+        denom = jnp.sum(stats.theta_hat, axis=-1)
+    else:
+        denom = deg
+    theta_new = stats.theta_hat / jnp.maximum(denom, _EPS)[:, None]
+    theta = jnp.where((denom > 0)[:, None], theta_new, state.theta)
 
     p_mass = jnp.sum(stats.p_hat, axis=-1, keepdims=True)
     p = jnp.where(p_mass > _EPS, stats.p_hat / (p_mass + _EPS), state.p)
@@ -285,13 +353,36 @@ def log_likelihood(
     state: ModelState,
     batch: Batch,
     precision=jax.lax.Precision.HIGHEST,
+    row_chunk: int = 0,
 ) -> jax.Array:
     """Weighted sum_b w_b log P(r_b | i, j, e) under the current state.
 
     The per-triplet probability is exactly the E-step denominator D_b
     (SURVEY.md §8.3), so this shares the T-matmul shape with the sweep.
     Handles both the trigenic (arity-3) and digenic (arity-2) families.
+    ``row_chunk``: see :func:`em_sufficient_stats` (same large-K fusion
+    limit applies to the per-rating gather here).
     """
+    if (
+        row_chunk
+        and batch.triplets.shape[1] == 3
+        and batch.triplets.shape[0] > row_chunk
+    ):
+        rc, n = _row_chunks(batch, row_chunk)
+        if n > 1:
+            chunks = Batch(
+                triplets=batch.triplets.reshape(n, rc, 3),
+                ratings=batch.ratings.reshape(n, rc),
+                weights=batch.weights.reshape(n, rc),
+            )
+
+            def body(acc, mb):
+                return acc + log_likelihood(state, mb, precision=precision), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), state.theta.dtype), chunks
+            )
+            return acc
     theta, p = state.theta, state.p
     G, K = theta.shape
     R = p.shape[-1]

@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
-from trigenicinteractionpredictor_tpu.ops.em import Batch, _barrier, _gather_thetas
+from trigenicinteractionpredictor_tpu.ops.em import (
+    Batch,
+    _barrier,
+    _gather_thetas,
+    map_restarts,
+)
 
 
 def predict_proba(
@@ -67,7 +72,7 @@ def ensemble_predict_interaction(
     Mirrors the reference's sample-averaging protocol (SURVEY.md §1.2):
     probabilities are averaged over S independent restarts before ranking.
     """
-    scores = jax.vmap(
-        lambda st: predict_interaction(st, triplets, interact_rating)
-    )(states)
+    scores = map_restarts(
+        lambda st: predict_interaction(st, triplets, interact_rating), states
+    )
     return jnp.mean(scores, axis=0)

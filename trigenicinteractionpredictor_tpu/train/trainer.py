@@ -14,6 +14,7 @@ checkpoints.  The restart axis can additionally shard over the mesh's
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from dataclasses import dataclass, field
@@ -27,7 +28,7 @@ from jax.sharding import Mesh
 from trigenicinteractionpredictor_tpu.config import Config
 from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
 from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState, init_state
-from trigenicinteractionpredictor_tpu.ops.em import Batch
+from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
 from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
 from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
     make_sharded_likelihood,
@@ -116,6 +117,11 @@ def fit(
         )
         if stats_fn is not None:
             log.log("backend", kernel="pallas", tile_b=cfg.engine.tile_b)
+        elif cfg.engine.jnp_row_chunk > 0:
+            # XLA path: bound fusion tiles at large K (config.py knob).
+            stats_fn = functools.partial(
+                em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk
+            )
 
     # Pad rows so every data shard is equal-length (and, on the kernel path,
     # a multiple of the kernel tile); weight-0 rows are inert.
@@ -155,6 +161,17 @@ def fit(
         )(keys)
 
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
+
+    if tcfg.minibatch > 0:
+        if resume is not None:
+            raise NotImplementedError(
+                "resume is not supported with stepwise EM (minibatch > 0): "
+                "the running-statistics carry is not checkpointed"
+            )
+        return _run_stepwise(
+            cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path
+        )
+
     # Sweeps between likelihood checks run as ONE device-side lax.scan per
     # dispatch (make_sharded_multi_step) — per-dispatch host round-trips cost
     # as much as a sweep at Kuzmin scale.  One compiled executable per
@@ -166,7 +183,7 @@ def fit(
             multi_steps[n] = make_sharded_multi_step(mesh, n, **step_kwargs)
         return multi_steps[n](states, batch_sh, deg_sh)
 
-    ll_fn = make_sharded_likelihood(mesh)
+    ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
 
     states = shard_ensemble(mesh, states)
     batch_sh = shard_batch(mesh, batch)
@@ -251,6 +268,147 @@ def fit(
         final_loglik=final_ll,
         ll_trace=np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
         sweeps_run=sweep,
+        triplets_per_sec=tps,
+        wall_seconds=wall,
+    )
+
+
+def _run_stepwise(
+    cfg: Config,
+    mesh: Mesh,
+    train_ds: TripletDataset,
+    pad: int,
+    states: ModelState,
+    step_kwargs: dict,
+    log,
+    checkpoint_path: Optional[str],
+) -> FitResult:
+    """Stepwise (incremental/minibatch) EM epochs (TrainConfig.minibatch).
+
+    One dispatch per epoch: the epoch's shuffled minibatches run as a
+    device-side lax.scan, each updating the parameters from exponentially
+    averaged full-data-scale sufficient statistics (see
+    parallel/sharded_em.py::make_sharded_stepwise_epoch for the update).
+    ``cfg.train.sweeps`` counts epochs here; the likelihood trace rows are
+    epoch means of the pre-update minibatch log-likelihoods.
+    """
+    from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+        make_sharded_stepwise_epoch,
+        zero_stats_like,
+    )
+
+    tcfg = cfg.train
+    mb = _lcm(tcfg.minibatch, pad)
+    ds = train_ds.pad_to(mb)
+    n_mb = ds.n_rows // mb
+    if n_mb < 2:
+        raise ValueError(
+            f"minibatch={tcfg.minibatch} (padded to {mb}) leaves {n_mb} "
+            f"minibatches of {ds.n_rows} rows — use classic EM instead"
+        )
+    log.log("stepwise", minibatch=mb, n_minibatches=n_mb,
+            kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0)
+    degrees = jnp.asarray(ds.degrees())
+    arity = ds.arity
+
+    epoch_step = make_sharded_stepwise_epoch(
+        mesh, n_mb, kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
+        **step_kwargs,
+    )
+    ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
+
+    states = shard_ensemble(mesh, states)
+    ema = shard_ensemble(mesh, zero_stats_like(states))
+    t = replicate(mesh, jnp.zeros((), jnp.float32))
+    deg_sh = replicate(mesh, degrees)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from trigenicinteractionpredictor_tpu.parallel.mesh import DATA_AXIS
+
+    mb_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    rng = np.random.default_rng(tcfg.seed ^ 0x5EED)
+    config_json = cfg.to_json()
+    S = states.theta.shape[0]
+    ce = tcfg.checkpoint_every if checkpoint_path else 0
+    freq = max(tcfg.likelihood_freq, 1)
+    ll_rows: List[np.ndarray] = []
+    prev_check: Optional[np.ndarray] = None
+    t0_wall = time.perf_counter()
+    epoch = 0
+    stop = False
+    while epoch < tcfg.sweeps and not stop:
+        perm = rng.permutation(ds.n_rows)
+        batches = Batch(
+            triplets=jax.device_put(
+                jnp.asarray(ds.triplets[perm].reshape(n_mb, mb, arity)),
+                mb_sharding,
+            ),
+            ratings=jax.device_put(
+                jnp.asarray(ds.ratings[perm].reshape(n_mb, mb)), mb_sharding
+            ),
+            weights=jax.device_put(
+                jnp.asarray(ds.weights[perm].reshape(n_mb, mb)), mb_sharding
+            ),
+        )
+        states, ema, ll, t = epoch_step(states, ema, t, batches, deg_sh)
+        epoch += 1
+        if epoch % freq == 0 or epoch == tcfg.sweeps:
+            ll_np = np.asarray(ll, dtype=np.float64)
+            ll_rows.append(ll_np)
+            dt = time.perf_counter() - t0_wall
+            log.log(
+                "epoch",
+                epoch=epoch,
+                ll_best=float(ll_np.max()),
+                ll_mean=float(ll_np.mean()),
+                triplets_per_sec=epoch * ds.n_real / max(dt, 1e-9),
+            )
+            if tcfg.tol > 0 and prev_check is not None:
+                if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
+                    stop = True
+                    log.log("early_stop", epoch=epoch, tol=tcfg.tol)
+            prev_check = ll_np
+        if ce > 0 and epoch % ce == 0:
+            save_checkpoint(
+                checkpoint_path,
+                ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
+                epoch,
+                np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+                config_json=config_json,
+            )
+
+    jax.block_until_ready(states.theta)
+    wall = time.perf_counter() - t0_wall
+    full_batch = shard_batch(
+        mesh,
+        Batch(
+            triplets=jnp.asarray(ds.triplets),
+            ratings=jnp.asarray(ds.ratings),
+            weights=jnp.asarray(ds.weights),
+        ),
+    )
+    final_ll = np.asarray(ll_fn(states, full_batch), dtype=np.float64)
+    tps = epoch * ds.n_real / max(wall, 1e-9)
+    log.log(
+        "fit_done", sweeps=epoch, wall_s=wall, triplets_per_sec=tps,
+        ll_best=float(final_ll.max()), mode="stepwise",
+    )
+    if checkpoint_path:
+        save_checkpoint(
+            checkpoint_path,
+            ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
+            epoch,
+            np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+            config_json=config_json,
+        )
+    return FitResult(
+        states=ModelState(
+            theta=np.asarray(states.theta), p=np.asarray(states.p)
+        ),
+        final_loglik=final_ll,
+        ll_trace=np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+        sweeps_run=epoch,
         triplets_per_sec=tps,
         wall_seconds=wall,
     )
