@@ -47,15 +47,15 @@ def test_serial_restart_map_matches_vmap():
     from trigenicinteractionpredictor_tpu.models import init_state
     from trigenicinteractionpredictor_tpu.ops.em import Batch, em_step
     from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
+    from trigenicinteractionpredictor_tpu.ops.em import SERIAL_RESTART_K
     from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
-        _SERIAL_RESTART_K,
         make_sharded_train_step,
         replicate,
         shard_batch,
         shard_ensemble,
     )
 
-    k = _SERIAL_RESTART_K
+    k = SERIAL_RESTART_K
     ds, _, _ = sample_synthetic_dataset(256, 20, k, seed=2)
     batch = Batch(
         triplets=jnp.asarray(ds.triplets),

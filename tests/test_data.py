@@ -118,3 +118,13 @@ def test_sorted_by_gene_contiguous():
     a = np.sort(ds.triplets.view([("", ds.triplets.dtype)] * 3), axis=0)
     b = np.sort(s.triplets.view([("", s.triplets.dtype)] * 3), axis=0)
     np.testing.assert_array_equal(a, b)
+
+
+def test_binarize_label_nan_pvalue_is_negative():
+    """NaN p-value must fail the significance test (label 0), matching the
+    native parser's comparison direction."""
+    from trigenicinteractionpredictor_tpu.config import DataConfig
+
+    cfg = DataConfig()
+    assert binarize_label(tau=-0.5, p_value=float("nan"), cfg=cfg) == 0
+    assert binarize_label(tau=float("nan"), p_value=0.001, cfg=cfg) == 0

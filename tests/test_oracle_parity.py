@@ -106,3 +106,27 @@ def test_padding_rows_are_inert():
         np.asarray(unpadded.p), np.asarray(padded.p), atol=1e-6
     )
     np.testing.assert_allclose(float(ll_u), float(ll_p), atol=1e-3)
+
+
+def test_row_chunked_stats_match_unchunked_at_odd_b():
+    """row_chunk must engage (with weight-0 tail padding) at ANY row count
+    — evaluation batches are unpadded with arbitrary/odd lengths."""
+    from trigenicinteractionpredictor_tpu.ops.em import em_sufficient_stats
+
+    ds = _toy(n=777, g=18, k=3, r=2, seed=13)  # odd, prime-ish row count
+    theta0, p0 = oracle.init_params(ds.n_genes, 3, 2, seed=3)
+    state = _state_from(theta0, p0)
+    batch = _batch_from(ds)
+
+    full = em_sufficient_stats(state.theta, state.p, batch)
+    chunked = em_sufficient_stats(state.theta, state.p, batch, row_chunk=256)
+    # f32 reduction order differs between the chunked and whole-batch sums.
+    np.testing.assert_allclose(
+        np.asarray(chunked.theta_hat), np.asarray(full.theta_hat), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.p_hat), np.asarray(full.p_hat), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(chunked.loglik), float(full.loglik), rtol=1e-5
+    )

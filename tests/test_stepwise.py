@@ -120,7 +120,11 @@ def test_stepwise_fit_matches_fullbatch_auc_with_fewer_epochs():
     assert stepw.sweeps_run == 30
 
 
-def test_stepwise_resume_unsupported(tmp_path):
+def test_stepwise_resume_restarts_from_scratch(tmp_path):
+    """A stepwise unit handed a checkpoint restarts fresh (the EMA carry is
+    not checkpointed) instead of raising — raising would wedge the CV
+    driver's elastic relaunch, which passes resume whenever a checkpoint
+    exists."""
     from trigenicinteractionpredictor_tpu.train.checkpoint import save_checkpoint
 
     ds, _, _ = sample_synthetic_dataset(1024, 16, 2, seed=1)
@@ -133,5 +137,17 @@ def test_stepwise_resume_unsupported(tmp_path):
         ll_trace=np.zeros((0, 1)),
     )
     cfg = Config(train=TrainConfig(k=2, sweeps=4, samples=1, minibatch=256))
-    with pytest.raises(NotImplementedError):
-        fit(cfg, ds, resume=ck)
+    result = fit(cfg, ds, resume=ck)
+    assert result.sweeps_run == 4
+    assert np.isfinite(result.final_loglik).all()
+
+
+def test_stepwise_minibatch_rounds_up_not_lcm():
+    """minibatch=1000 with pad 512 must give 1024-row minibatches, not
+    lcm(1000, 512) = 64000."""
+    ds, _, _ = sample_synthetic_dataset(8192, 20, 2, seed=2)
+    cfg = Config(
+        train=TrainConfig(k=2, sweeps=2, samples=1, minibatch=1000)
+    )
+    result = fit(cfg, ds)  # would raise n_mb < 2 under the lcm sizing
+    assert result.sweeps_run == 2

@@ -135,3 +135,43 @@ def test_early_stop(tmp_path, dataset):
     cfg = _cfg(tmp_path, sweeps=500, tol=1.0, likelihood_freq=5)
     result = fit(cfg, train)
     assert result.sweeps_run < 500  # converged well before the cap
+
+
+def test_merge_report_selects_best_k_by_heldout_likelihood(tmp_path):
+    """Training likelihood grows ~monotonically with K (overfitting), so
+    best-K-per-fold must come from the HELD-OUT likelihood column."""
+    import json
+
+    units = str(tmp_path / "units")
+    os.makedirs(units)
+    recs = [
+        # K=50 "wins" on training ll but is worst held-out (overfit).
+        {"unit": "fold0_k10", "fold": 0, "k": 10, "auc": 0.71,
+         "average_precision": 0.3, "ll_best": -70000.0, "heldout_loglik": -19000.0},
+        {"unit": "fold0_k50", "fold": 0, "k": 50, "auc": 0.55,
+         "average_precision": 0.2, "ll_best": -34000.0, "heldout_loglik": -31000.0},
+    ]
+    for r in recs:
+        with open(os.path.join(units, r["unit"] + ".json"), "w") as fh:
+            json.dump(r, fh)
+    report = merge_report(str(tmp_path))
+    assert report["summary"]["best_k_per_fold"] == {"0": 10}
+
+
+def test_evaluate_multiclass_labels():
+    """n_ratings=3: AUC labels must be rating == interact class, not the
+    raw rating index (which double-counts class 2 and breaks the metric)."""
+    import jax
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.eval import evaluate
+    from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState, init_state
+
+    ds, _, _ = sample_synthetic_dataset(400, 15, 3, n_ratings=3, seed=4)
+    st = init_state(jax.random.key(0), ds.n_genes, 3, 3)
+    states = ModelState(theta=st.theta[None], p=st.p[None])
+    rep = evaluate(states, ds, interact_rating=1)
+    assert 0.0 <= rep.auc <= 1.0
+    assert rep.n_pos == int((ds.ratings == 1).sum())

@@ -49,6 +49,10 @@ def restart_score_agreement(
     )  # [S, B]
     S = scores.shape[0]
     corr = np.corrcoef(scores) if S > 1 else np.ones((1, 1))
+    # A restart with constant scores (collapsed theta, K=1) has undefined
+    # correlation; report it as 0 agreement instead of poisoning the whole
+    # report with NaN.
+    corr = np.nan_to_num(corr, nan=0.0)
     off = corr[~np.eye(S, dtype=bool)]
     return {
         "corr_matrix": corr.tolist(),

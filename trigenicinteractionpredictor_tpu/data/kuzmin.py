@@ -89,8 +89,13 @@ def split_query_strain(
 
 
 def binarize_label(tau: float, p_value: float, cfg: DataConfig) -> int:
-    """1 iff the row is a significant interaction under the paper's criteria."""
-    if p_value >= cfg.p_cutoff:
+    """1 iff the row is a significant interaction under the paper's criteria.
+
+    Written require-significance-positively (``p < cutoff``, not
+    ``p >= cutoff -> 0``) so a NaN p-value fails the test and labels 0 —
+    matching the native C++ parser's comparison direction.
+    """
+    if not (p_value < cfg.p_cutoff):
         return 0
     if cfg.tau_mode == "negative":
         return int(tau < -cfg.tau_cutoff)
@@ -132,8 +137,9 @@ def parse_kuzmin_rows(
     }
     rows: List[Tuple] = []
     seen = set()
+    needed = max(qi, ai, taui, pi, ti if ti is not None else 0)
     for rec in reader:
-        if len(rec) <= max(qi, ai, taui, pi):
+        if len(rec) <= needed:
             continue
         if ti is not None and cfg.mutant_type:
             if _norm_col(rec[ti]) != cfg.mutant_type:

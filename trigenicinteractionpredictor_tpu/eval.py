@@ -66,8 +66,11 @@ def evaluate(
       requires ``final_loglik``.
     """
     trips = jnp.asarray(test_ds.triplets)
-    labels = jnp.asarray(test_ds.ratings)
+    ratings = jnp.asarray(test_ds.ratings)
     weights = jnp.asarray(test_ds.weights)
+    # Binary labels for ranking metrics: rating == the interaction class.
+    # Raw rating indices would corrupt AUC/AP whenever n_ratings > 2.
+    labels = (ratings == interact_rating).astype(jnp.int32)
     states_j = ModelState(
         theta=jnp.asarray(states.theta), p=jnp.asarray(states.p)
     )
@@ -76,10 +79,11 @@ def evaluate(
     ens_auc = float(auc(ens_scores, labels, weights))
     ens_ap = float(average_precision(ens_scores, labels, weights))
 
-    # Held-out log-likelihood per sample (BASELINE config 3 reports this).
+    # Held-out log-likelihood per sample (BASELINE config 3 reports this)
+    # uses the RAW rating classes, not the binarized labels.
     # map_restarts + row_chunk: large-K graphs crash/overflow when vmapped
     # or fused whole (ops/em.py SERIAL_RESTART_K).
-    test_batch = Batch(triplets=trips, ratings=labels, weights=weights)
+    test_batch = Batch(triplets=trips, ratings=ratings, weights=weights)
     heldout_ll = np.asarray(
         map_restarts(
             lambda st: log_likelihood(st, test_batch, row_chunk=16384), states_j
@@ -103,5 +107,5 @@ def evaluate(
         heldout_loglik=float(heldout_ll[best]),
         heldout_loglik_mean=float(heldout_ll.mean()),
         n_test=int(real.sum()),
-        n_pos=int(np.asarray(test_ds.ratings)[real].sum()),
+        n_pos=int((np.asarray(test_ds.ratings)[real] == interact_rating).sum()),
     )

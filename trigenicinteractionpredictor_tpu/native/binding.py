@@ -15,6 +15,8 @@ import subprocess
 import threading
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "build", "libtipnative.so")
 
@@ -101,7 +103,9 @@ def parse_kuzmin_file(path, cfg) -> Optional[List[Tuple[str, str, str, int]]]:
         if n == 0:
             return []
         labels_ptr = lib.tip_result_labels(handle)
-        labels = [labels_ptr[i] for i in range(n)]
+        # Single memcpy; a per-element ctypes loop costs hundreds of ms at
+        # Data S1 scale and defeats the point of the native parser.
+        labels = np.ctypeslib.as_array(labels_ptr, shape=(n,)).copy()
         names_blob = lib.tip_result_names(handle).decode()
         rows: List[Tuple[str, str, str, int]] = []
         for line, lab in zip(names_blob.splitlines(), labels):

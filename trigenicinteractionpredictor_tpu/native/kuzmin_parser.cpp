@@ -155,6 +155,7 @@ void* tip_parse_kuzmin(const char* path, double p_cutoff, double tau_cutoff,
   std::set<std::array<std::string, 3>> seen;
 
   int maxcol = std::max(std::max(qi, ai), std::max(taui, pi));
+  if (ti >= 0) maxcol = std::max(maxcol, ti);
   while (std::getline(in, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
     auto rec = split_tab(line);

@@ -134,15 +134,31 @@ def _scatter_add_rows(
     return acc
 
 
-def _row_chunks(batch: Batch, row_chunk: int) -> Tuple[int, int]:
-    """Pick an effective chunk size dividing the (padded) batch length."""
+def _chunked_batch(batch: Batch, row_chunk: int) -> Tuple[Batch, int, int]:
+    """Reshape a batch into [n, rc, ...] chunks, padding the tail with
+    weight-0 rows (inert everywhere) when B is not a chunk multiple.
+
+    Must never silently fall back to one whole-batch chunk — the chunking
+    exists to keep large-K fusion tiles inside scoped VMEM, and evaluation
+    batches have arbitrary (odd) row counts.
+    """
     B = batch.triplets.shape[0]
     rc = min(row_chunk, B)
-    while B % rc != 0 and rc > 512:
-        rc //= 2
-    if B % rc != 0:
-        return B, 1
-    return rc, B // rc
+    n = -(-B // rc)
+    pad = n * rc - B
+    trip, r, w = batch.triplets, batch.ratings, batch.weights
+    if pad:
+        trip = jnp.concatenate(
+            [trip, jnp.zeros((pad, trip.shape[1]), trip.dtype)]
+        )
+        r = jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    chunks = Batch(
+        triplets=trip.reshape(n, rc, trip.shape[1]),
+        ratings=r.reshape(n, rc),
+        weights=w.reshape(n, rc),
+    )
+    return chunks, rc, n
 
 
 def em_sufficient_stats(
@@ -172,27 +188,21 @@ def em_sufficient_stats(
             theta, p, batch, precision=precision, scatter_impl=scatter_impl
         )
     if row_chunk and batch.triplets.shape[0] > row_chunk:
-        rc, n = _row_chunks(batch, row_chunk)
-        if n > 1:
-            chunks = Batch(
-                triplets=batch.triplets.reshape(n, rc, 3),
-                ratings=batch.ratings.reshape(n, rc),
-                weights=batch.weights.reshape(n, rc),
-            )
+        chunks, _, _ = _chunked_batch(batch, row_chunk)
 
-            def body(acc, mb):
-                s = em_sufficient_stats(
-                    theta, p, mb, precision=precision, scatter_impl=scatter_impl
-                )
-                return jax.tree.map(jnp.add, acc, s), None
-
-            init = SweepStats(
-                theta_hat=jnp.zeros_like(theta),
-                p_hat=jnp.zeros_like(p),
-                loglik=jnp.zeros((), theta.dtype),
+        def body(acc, mb):
+            s = em_sufficient_stats(
+                theta, p, mb, precision=precision, scatter_impl=scatter_impl
             )
-            acc, _ = jax.lax.scan(body, init, chunks)
-            return acc
+            return jax.tree.map(jnp.add, acc, s), None
+
+        init = SweepStats(
+            theta_hat=jnp.zeros_like(theta),
+            p_hat=jnp.zeros_like(p),
+            loglik=jnp.zeros((), theta.dtype),
+        )
+        acc, _ = jax.lax.scan(body, init, chunks)
+        return acc
     G, K = theta.shape
     R = p.shape[-1]
     B = batch.triplets.shape[0]
@@ -368,21 +378,13 @@ def log_likelihood(
         and batch.triplets.shape[1] == 3
         and batch.triplets.shape[0] > row_chunk
     ):
-        rc, n = _row_chunks(batch, row_chunk)
-        if n > 1:
-            chunks = Batch(
-                triplets=batch.triplets.reshape(n, rc, 3),
-                ratings=batch.ratings.reshape(n, rc),
-                weights=batch.weights.reshape(n, rc),
-            )
+        chunks, _, _ = _chunked_batch(batch, row_chunk)
 
-            def body(acc, mb):
-                return acc + log_likelihood(state, mb, precision=precision), None
+        def body(acc, mb):
+            return acc + log_likelihood(state, mb, precision=precision), None
 
-            acc, _ = jax.lax.scan(
-                body, jnp.zeros((), state.theta.dtype), chunks
-            )
-            return acc
+        acc, _ = jax.lax.scan(body, jnp.zeros((), state.theta.dtype), chunks)
+        return acc
     theta, p = state.theta, state.p
     G, K = theta.shape
     R = p.shape[-1]

@@ -27,6 +27,7 @@ from trigenicinteractionpredictor_tpu.ops.em import (
     SweepStats,
     em_sufficient_stats,
     log_likelihood,
+    map_restarts as _map_restarts,
     normalize_from_stats,
 )
 from trigenicinteractionpredictor_tpu.parallel.mesh import DATA_AXIS, ENSEMBLE_AXIS
@@ -56,12 +57,6 @@ def shard_ensemble(mesh: Mesh, states: ModelState) -> ModelState:
     """Place a restart-stacked state (leading S axis) over ``ensemble``."""
     sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sh), states)
-
-
-from trigenicinteractionpredictor_tpu.ops.em import (  # noqa: E402
-    SERIAL_RESTART_K as _SERIAL_RESTART_K,
-    map_restarts as _map_restarts,
-)
 
 
 def _per_restart_stats(stats_fn, states: ModelState, batch: Batch, precision):

@@ -132,8 +132,11 @@ def run_units(
 
 def merge_report(out_dir: str) -> dict:
     """Merge all finished units into the final AUC/PR report (host 0 only
-    in a multi-host launch).  Selects the best K per fold by held-out
-    likelihood of the best sample (BASELINE config 4)."""
+    in a multi-host launch).  Selects the best K per fold by HELD-OUT
+    likelihood of the best sample (BASELINE config 4) — training likelihood
+    grows nearly monotonically with K (measured: K=50 reaches train L -34k
+    vs K=25's -65k while its held-out L is far worse; BASELINE.md), so
+    selecting on it would always pick the largest, most overfit K."""
     recs = []
     for path in sorted(glob.glob(os.path.join(out_dir, "units", "*.json"))):
         with open(path) as fh:
@@ -144,7 +147,7 @@ def merge_report(out_dir: str) -> dict:
     for r in recs:
         by_fold.setdefault(r["fold"], []).append(r)
     best_per_fold = {
-        f: max(rs, key=lambda r: r["ll_best"]) for f, rs in by_fold.items()
+        f: max(rs, key=lambda r: r["heldout_loglik"]) for f, rs in by_fold.items()
     }
     summary = {
         "mean_auc": float(np.mean([r["auc"] for r in recs])),

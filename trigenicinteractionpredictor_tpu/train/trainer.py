@@ -164,10 +164,19 @@ def fit(
 
     if tcfg.minibatch > 0:
         if resume is not None:
-            raise NotImplementedError(
-                "resume is not supported with stepwise EM (minibatch > 0): "
-                "the running-statistics carry is not checkpointed"
-            )
+            # The running-statistics carry is not checkpointed, so a
+            # stepwise unit restarts from scratch rather than resuming —
+            # raising here would permanently wedge the CV/sweep driver's
+            # elastic relaunch (it passes resume whenever a unit left a
+            # checkpoint behind).
+            log.log("stepwise_restart", ignored_resume=resume)
+            keys = jax.random.split(jax.random.key(tcfg.seed), S)
+            states = jax.vmap(
+                lambda k: init_state(
+                    k, ds.n_genes, tcfg.k, ds.n_ratings,
+                    alpha=tcfg.init_alpha, arity=arity,
+                )
+            )(keys)
         return _run_stepwise(
             cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path
         )
@@ -298,7 +307,9 @@ def _run_stepwise(
     )
 
     tcfg = cfg.train
-    mb = _lcm(tcfg.minibatch, pad)
+    # Round the requested minibatch UP to a pad multiple (lcm would inflate
+    # e.g. minibatch=1000 with pad=512 to 64000 rows).
+    mb = -(-tcfg.minibatch // pad) * pad
     ds = train_ds.pad_to(mb)
     n_mb = ds.n_rows // mb
     if n_mb < 2:
