@@ -92,7 +92,7 @@ def fit(
     # Refuse to train on silently-corrupt accelerator compute (utils/integrity).
     from trigenicinteractionpredictor_tpu.utils.integrity import check_em_integrity
 
-    check_em_integrity()
+    check_em_integrity(arity=train_ds.arity)
     if mesh is None:
         mesh = make_mesh(data=cfg.mesh.data, ensemble=cfg.mesh.ensemble)
     data_size = mesh.shape["data"]

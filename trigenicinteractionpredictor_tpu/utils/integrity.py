@@ -85,7 +85,9 @@ def _store_verdict(key: str, ok: bool) -> None:
 
 
 @functools.lru_cache(maxsize=None)
-def _probe_result(platform: str, n: int, g: int, k: int, r: int) -> bool:
+def _probe_result(
+    platform: str, n: int, g: int, k: int, r: int, arity: int = 3
+) -> bool:
     """Run the probe once per (platform, shape); cache the verdict.
 
     Checks BOTH compute paths on the accelerator — the jnp/XLA graph and
@@ -97,11 +99,11 @@ def _probe_result(platform: str, n: int, g: int, k: int, r: int) -> bool:
     from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
 
     rng = np.random.default_rng(0)
-    trip = rng.integers(0, g, size=(n, 3), dtype=np.int32)
+    trip = rng.integers(0, g, size=(n, arity), dtype=np.int32)
     ratings = rng.integers(0, r, size=n, dtype=np.int32)
     weights = np.ones(n, dtype=np.float32)
 
-    state = init_state(jax.random.key(0), g, k, r)
+    state = init_state(jax.random.key(0), g, k, r, arity=arity)
     theta_np, p_np = np.asarray(state.theta), np.asarray(state.p)
 
     def run(device, stats_fn):
@@ -129,7 +131,7 @@ def _probe_result(platform: str, n: int, g: int, k: int, r: int) -> bool:
 
     dev = jax.devices()[0]
     ok = check("jnp", run(dev, em_sufficient_stats))
-    if ok and platform == "tpu" and kernel_fits(g, k, 512):
+    if ok and platform == "tpu" and arity == 3 and kernel_fits(g, k, 512):
         from trigenicinteractionpredictor_tpu.ops.pallas_em import (
             pallas_em_sufficient_stats,
         )
@@ -152,6 +154,7 @@ def check_em_integrity(
     k: int = 10,
     n_ratings: int = 2,
     raise_on_failure: bool = True,
+    arity: int = 3,
 ) -> bool:
     """Verify accelerator EM stats against the host CPU. Cheap; cached.
 
@@ -165,7 +168,7 @@ def check_em_integrity(
     # (device, code fingerprint, shape) serves every process on the host.
     key = (
         f"{platform}:{jax.devices()[0].device_kind}:{_code_fingerprint()}:"
-        f"{n}:{n_genes}:{k}:{n_ratings}:{_TOL}"
+        f"{n}:{n_genes}:{k}:{n_ratings}:{arity}:{_TOL}"
     )
     cached = _cached_verdict(key)
     if cached is not None:
@@ -176,7 +179,7 @@ def check_em_integrity(
                 "delete .integrity_cache.json to re-probe"
             )
         return ok
-    ok = _probe_result(platform, n, n_genes, k, n_ratings)
+    ok = _probe_result(platform, n, n_genes, k, n_ratings, arity)
     _store_verdict(key, ok)
     if not ok and raise_on_failure:
         raise ComputeIntegrityError(
