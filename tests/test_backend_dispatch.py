@@ -117,3 +117,49 @@ def test_pallas_backend_through_trainer_matches_jnp(tmp_path):
         np.asarray(jnp_res.states.theta),
         atol=1e-4,
     )
+
+
+def test_wide_ensemble_uses_grouped_kernel():
+    """S > 10 lane-stacks in groups (one kernel call per group under
+    lax.map): a single 50-wide call blows up the Mosaic program."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models import init_state
+    from trigenicinteractionpredictor_tpu.ops.dispatch import (
+        _pallas_grouped_fn,
+        _pick_group,
+    )
+    from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
+
+    assert _pick_group(1000, 10, 512, 50) == 10
+    assert _pick_group(1000, 10, 512, 17) is None  # prime S: no divisor
+
+    # Grouped kernel (interpret mode on CPU) == per-restart jnp stats.
+    ds, _, _ = sample_synthetic_dataset(512, 20, 3, seed=8)
+    ds = ds.pad_to(512)
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+    S = 4
+    states = jax.vmap(lambda k: init_state(k, ds.n_genes, 3, 2))(
+        jax.random.split(jax.random.key(0), S)
+    )
+    fn = _pallas_grouped_fn(512, group=2)
+    assert getattr(fn, "ensemble", False)
+    stats = fn(states.theta, states.p, batch)
+    ref = jax.vmap(
+        lambda th, p: em_sufficient_stats(th, p, batch)
+    )(states.theta, states.p)
+    np.testing.assert_allclose(
+        np.asarray(stats.theta_hat), np.asarray(ref.theta_hat), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats.loglik), np.asarray(ref.loglik), rtol=1e-5
+    )

@@ -70,7 +70,17 @@ def resolve_stats_fn(
     """
     if backend in (None, "", "jnp") or arity != 3:
         return None
-    tile = _fit_tile(n_genes, k, tile_b, n_samples)
+    # The ensemble kernel unrolls the per-restart algebra in its tile body;
+    # very wide ensembles both exceed VMEM and blow up the Mosaic program
+    # (S=50 crashes the compile helper).  Cap the lane-stacked group and
+    # run groups under lax.map.
+    if n_samples > _MAX_ENSEMBLE_GROUP:
+        group = _pick_group(n_genes, k, tile_b, n_samples)
+        if group is not None and jax.default_backend() == "tpu":
+            return _pallas_grouped_fn(_fit_tile(n_genes, k, tile_b, group), group)
+        tile = None  # fall through to single-restart kernel or jnp
+    else:
+        tile = _fit_tile(n_genes, k, tile_b, n_samples)
     # Large-K fallback: the S-wide ensemble kernel may not fit VMEM while
     # the single-restart kernel does.  The sharded step runs restarts as a
     # sequential lax.map past K >= 32 (parallel/sharded_em.py), so handing
@@ -103,6 +113,49 @@ def _pallas_fn(tile_b: int) -> Callable:
 
     fn = functools.partial(pallas_em_ensemble_stats, tile_b=tile_b)
     fn.ensemble = True  # one call with stacked restarts (sharded_em.py)
+    return fn
+
+
+# Max restarts lane-stacked into ONE kernel call: the per-restart algebra
+# unrolls in the tile body, so very wide ensembles blow up the Mosaic
+# program (S=50 crashed the compile helper) besides exceeding VMEM.
+_MAX_ENSEMBLE_GROUP = 10
+
+
+def _pick_group(
+    n_genes: int, k: int, tile_b: int, n_samples: int
+) -> Optional[int]:
+    """Largest group size <= _MAX_ENSEMBLE_GROUP dividing n_samples whose
+    ensemble kernel fits VMEM; None if no divisor > 1 works."""
+    for g in range(min(_MAX_ENSEMBLE_GROUP, n_samples), 1, -1):
+        if n_samples % g == 0 and _fit_tile(n_genes, k, tile_b, g) is not None:
+            return g
+    return None
+
+
+def _pallas_grouped_fn(tile_b: int, group: int) -> Callable:
+    """Ensemble kernel over restart groups: [S] -> [S/group, group] under
+    lax.map, each group lane-stacked in one kernel call."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+        pallas_em_ensemble_stats,
+    )
+
+    def fn(thetas, ps, batch, precision=None):
+        S = thetas.shape[0]
+        n_g = S // group
+        th_g = thetas.reshape(n_g, group, *thetas.shape[1:])
+        p_g = ps.reshape(n_g, group, *ps.shape[1:])
+        stats = jax.lax.map(
+            lambda tp: pallas_em_ensemble_stats(
+                tp[0], tp[1], batch, tile_b=tile_b
+            ),
+            (th_g, p_g),
+        )
+        return jax.tree.map(
+            lambda x: x.reshape(S, *x.shape[2:]), stats
+        )
+
+    fn.ensemble = True  # takes stacked restarts in one call
     return fn
 
 
