@@ -216,30 +216,49 @@ def fit(
     t0 = time.perf_counter()
     sweep = start_sweep
     stop = False
+
+    # Likelihood-trace fetches are PIPELINED: fetching a device scalar
+    # through the relay costs ~20-50 ms of sync, so each check's ll is
+    # converted only after the NEXT chunk has been dispatched (the sync
+    # then overlaps that chunk's compute).  Early stopping therefore lags
+    # one check interval — it runs at most ``freq`` extra sweeps.
+    pending: Optional[Tuple[int, jax.Array]] = None
+
+    def flush_pending() -> bool:
+        nonlocal prev_check, pending
+        if pending is None:
+            return False
+        at_sweep, ll = pending
+        pending = None
+        ll_np = np.asarray(ll, dtype=np.float64)  # L of pre-update state
+        ll_rows.append(ll_np)
+        dt = time.perf_counter() - t0
+        log.log(
+            "sweep",
+            sweep=at_sweep,
+            ll_best=float(ll_np.max()),
+            ll_mean=float(ll_np.mean()),
+            triplets_per_sec=(at_sweep - start_sweep) * ds.n_real / max(dt, 1e-9),
+        )
+        halt = False
+        if tcfg.tol > 0 and prev_check is not None:
+            if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
+                halt = True
+                log.log("early_stop", sweep=at_sweep, tol=tcfg.tol)
+        prev_check = ll_np
+        return halt
+
     while sweep < tcfg.sweeps and not stop:
         n_inner = next_boundary(sweep) - sweep
         states, ll_hist = step_chunk(n_inner, states, batch_sh, deg_sh)
-        ll = ll_hist[-1]
-        if throttle:
-            jax.block_until_ready(ll)
         sweep += n_inner
+        if throttle:
+            jax.block_until_ready(ll_hist)
+        stop = flush_pending()  # previous check syncs while this chunk runs
         if sweep % freq == 0 or sweep == tcfg.sweeps:
-            ll_np = np.asarray(ll, dtype=np.float64)  # L of pre-update state
-            ll_rows.append(ll_np)
-            dt = time.perf_counter() - t0
-            log.log(
-                "sweep",
-                sweep=sweep,
-                ll_best=float(ll_np.max()),
-                ll_mean=float(ll_np.mean()),
-                triplets_per_sec=(sweep - start_sweep) * ds.n_real / max(dt, 1e-9),
-            )
-            if tcfg.tol > 0 and prev_check is not None:
-                if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
-                    stop = True
-                    log.log("early_stop", sweep=sweep, tol=tcfg.tol)
-            prev_check = ll_np
+            pending = (sweep, ll_hist[-1])
         if ce > 0 and sweep % ce == 0:
+            stop = flush_pending() or stop  # keep the trace ordered
             save_checkpoint(
                 checkpoint_path,
                 ModelState(
@@ -249,6 +268,7 @@ def fit(
                 np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
                 config_json=config_json,
             )
+    stop = flush_pending() or stop
 
     jax.block_until_ready(states.theta)
     wall = time.perf_counter() - t0
