@@ -25,6 +25,7 @@ throughput, backend) goes to stderr so stdout stays a single JSON line.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -42,11 +43,29 @@ S = 10       # restarts — the reference CLI's default ``-s 10`` (SURVEY.md §4
 SWEEPS = 120
 
 
+def parse_args(argv=None) -> argparse.Namespace:
+    """Workload knobs (defaults = the headline shape recorded in BASELINE.md).
+
+    Non-default shapes are experiments: the JSON line marks them with the
+    chosen shape so a driver-recorded BENCH file is never silently
+    off-workload.
+    """
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-n", type=int, default=N, help="triplets")
+    ap.add_argument("-g", "--genes", type=int, default=G)
+    ap.add_argument("-k", type=int, default=K)
+    ap.add_argument("-s", "--samples", type=int, default=S)
+    ap.add_argument("--sweeps", type=int, default=SWEEPS)
+    ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    return ap.parse_args(argv)
+
+
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_engine() -> float:
+def measure_engine(args) -> float:
+    N, G, K, S, SWEEPS = args.n, args.genes, args.k, args.samples, args.sweeps
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +107,7 @@ def measure_engine() -> float:
     chunk = 10
 
     def run(n_samples: int, reps: int = 3) -> float:
-        stats_fn = resolve_stats_fn("auto", G, K, n_samples=n_samples)
+        stats_fn = resolve_stats_fn(args.backend, G, K, n_samples=n_samples)
         log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
         step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
         step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
@@ -125,14 +144,15 @@ def measure_engine() -> float:
     return run(S)  # headline: the reference's own default job shape
 
 
-def measure_baseline() -> float:
+def measure_baseline(args) -> float:
     from python_reference import measure_triplets_per_sec
 
     # Best of 3: host load varies 3-4x run to run, and an understated
     # baseline would overstate vs_baseline.
     tps = max(
         measure_triplets_per_sec(
-            n_triplets=200, n_genes=G, k=K, n_ratings=R, min_seconds=1.5
+            n_triplets=200, n_genes=args.genes, k=args.k, n_ratings=R,
+            min_seconds=1.5,
         )
         for _ in range(3)
     )
@@ -141,14 +161,19 @@ def measure_baseline() -> float:
 
 
 def main() -> None:
-    engine_tps = measure_engine()
-    baseline_tps = measure_baseline()
+    args = parse_args()
+    engine_tps = measure_engine(args)
+    baseline_tps = measure_baseline(args)
     result = {
         "metric": "em_restart_triplet_updates_per_sec_per_chip",
         "value": round(engine_tps, 1),
         "unit": "triplets/s",
         "vs_baseline": round(engine_tps / baseline_tps, 1),
     }
+    if (args.n, args.genes, args.k, args.samples) != (N, G, K, S):
+        result["shape"] = {
+            "n": args.n, "g": args.genes, "k": args.k, "s": args.samples,
+        }
     print(json.dumps(result))
 
 

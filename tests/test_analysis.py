@@ -103,3 +103,34 @@ def test_cli_analyze(tmp_path):
     rep = json.load(open(analysis_out))
     assert rep["n_samples"] == 2
     assert "score_agreement" in rep and "group_stability" in rep
+
+
+def test_analyze_binarizes_multiclass_labels(tmp_path):
+    """Raw rating classes (0..R-1) must be binarized against the
+    interaction class before per-sample AUC — at R=3 raw labels would
+    corrupt the metric (round-1 advisor finding)."""
+    from trigenicinteractionpredictor_tpu.analysis import analyze_checkpoint
+    from trigenicinteractionpredictor_tpu.ops.metrics import auc
+    from trigenicinteractionpredictor_tpu.ops.scoring import predict_interaction
+
+    R = 3
+    ds, theta, p = sample_synthetic_dataset(300, 20, 2, n_ratings=R, seed=3)
+    keys = jax.random.split(jax.random.key(0), 2)
+    states = jax.vmap(lambda k: init_state(k, ds.n_genes, 2, R))(keys)
+    path = os.path.join(tmp_path, "ck.npz")
+    save_checkpoint(
+        path,
+        ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
+        5,
+        np.zeros((1, 2)),
+    )
+    rep = analyze_checkpoint(path, tuples=ds.triplets, labels=ds.ratings)
+    # Manual binarized AUC for sample 0 must match the report.
+    scores0 = predict_interaction(
+        ModelState(theta=states.theta[0], p=states.p[0]),
+        jnp.asarray(ds.triplets),
+        1,
+    )
+    labels_bin = jnp.asarray((ds.ratings == 1).astype(np.int32))
+    expected = float(auc(scores0, labels_bin))
+    assert abs(rep["per_sample_auc"][0] - expected) < 1e-6

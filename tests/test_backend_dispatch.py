@@ -137,7 +137,9 @@ def test_wide_ensemble_uses_grouped_kernel():
     from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
 
     assert _pick_group(1000, 10, 512, 50) == 10
-    assert _pick_group(1000, 10, 512, 17) is None  # prime S: no divisor
+    # Prime S: no divisor, but the largest fitting group still works (the
+    # grouped fn runs a narrower remainder call for the tail).
+    assert _pick_group(1000, 10, 512, 17) == 10
 
     # Grouped kernel (interpret mode on CPU) == per-restart jnp stats.
     ds, _, _ = sample_synthetic_dataset(512, 20, 3, seed=8)
@@ -163,3 +165,33 @@ def test_wide_ensemble_uses_grouped_kernel():
     np.testing.assert_allclose(
         np.asarray(stats.loglik), np.asarray(ref.loglik), rtol=1e-5
     )
+
+    # Non-divisor S: two full groups + a remainder call, same results.
+    S3 = 3
+    states3 = jax.vmap(lambda k: init_state(k, ds.n_genes, 3, 2))(
+        jax.random.split(jax.random.key(1), S3)
+    )
+    stats3 = fn(states3.theta, states3.p, batch)
+    ref3 = jax.vmap(
+        lambda th, p: em_sufficient_stats(th, p, batch)
+    )(states3.theta, states3.p)
+    assert stats3.loglik.shape == (S3,)
+    np.testing.assert_allclose(
+        np.asarray(stats3.theta_hat), np.asarray(ref3.theta_hat), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats3.loglik), np.asarray(ref3.loglik), rtol=1e-5
+    )
+
+
+def test_resolved_kernels_carry_tile_b():
+    """The trainer distinguishes Pallas kernels from the jnp row-chunk
+    partial by the .tile_b attribute (batch padding gate)."""
+    fn = resolve_stats_fn("pallas", 1000, 10, n_samples=8)
+    assert getattr(fn, "tile_b", 0) > 0
+    fn1 = resolve_stats_fn("pallas", 1000, 50, n_samples=10)  # single-restart
+    assert getattr(fn1, "tile_b", 0) > 0
+    # Explicit pallas + wide ensemble resolves to the grouped fn anywhere
+    # (no silent TPU-only gate).
+    fng = resolve_stats_fn("pallas", 1000, 10, n_samples=17)
+    assert getattr(fng, "ensemble", False) and getattr(fng, "tile_b", 0) > 0

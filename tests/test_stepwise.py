@@ -151,3 +151,61 @@ def test_stepwise_minibatch_rounds_up_not_lcm():
     )
     result = fit(cfg, ds)  # would raise n_mb < 2 under the lcm sizing
     assert result.sweeps_run == 2
+
+
+def test_stepwise_resume_equivalence(tmp_path):
+    """fit(N) == fit(n) + resume -> N: the checkpoint carries the EMA
+    statistics + update counter, and the epoch shuffle is (seed, epoch)-
+    derived, so a resumed stepwise run replays exactly."""
+    ds, _, _ = sample_synthetic_dataset(2048, 16, 2, seed=3)
+
+    def cfg(sweeps):
+        return Config(
+            train=TrainConfig(
+                k=2, sweeps=sweeps, samples=2, minibatch=256,
+                likelihood_freq=1, seed=5,
+            )
+        )
+
+    full = fit(cfg(6), ds)
+
+    ck = str(tmp_path / "sw.ckpt.npz")
+    fit(cfg(3), ds, checkpoint_path=ck)
+    resumed = fit(cfg(6), ds, resume=ck, checkpoint_path=ck)
+
+    assert resumed.sweeps_run == 6
+    np.testing.assert_allclose(
+        np.asarray(resumed.states.theta), np.asarray(full.states.theta),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        resumed.final_loglik, full.final_loglik, rtol=1e-6
+    )
+    # The merged trace covers all 6 epochs.
+    assert resumed.ll_trace.shape[0] == 6
+
+
+def test_classic_resume_equivalence(tmp_path):
+    """Classic EM: resumed fit reproduces the uninterrupted fit exactly
+    (EM is deterministic given the checkpointed states)."""
+    ds, _, _ = sample_synthetic_dataset(1024, 16, 2, seed=4)
+
+    def cfg(sweeps):
+        return Config(
+            train=TrainConfig(
+                k=2, sweeps=sweeps, samples=2, likelihood_freq=2, seed=9
+            )
+        )
+
+    full = fit(cfg(8), ds)
+    ck = str(tmp_path / "cl.ckpt.npz")
+    fit(cfg(4), ds, checkpoint_path=ck)
+    resumed = fit(cfg(8), ds, resume=ck, checkpoint_path=ck)
+    assert resumed.sweeps_run == 8
+    np.testing.assert_allclose(
+        np.asarray(resumed.states.theta), np.asarray(full.states.theta),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        resumed.final_loglik, full.final_loglik, rtol=1e-6
+    )

@@ -175,3 +175,28 @@ def test_evaluate_multiclass_labels():
     rep = evaluate(states, ds, interact_rating=1)
     assert 0.0 <= rep.auc <= 1.0
     assert rep.n_pos == int((ds.ratings == 1).sum())
+
+
+def test_merge_report_handles_legacy_units_and_selected_mean(tmp_path):
+    """Mixed-version unit dirs (records without heldout_loglik) must merge,
+    and the summary reports the selected-model mean separately from the
+    all-units mean (round-1 advisor + verdict findings)."""
+    units = os.path.join(tmp_path, "units")
+    os.makedirs(units)
+    recs = [
+        {"unit": "fold0_k5", "fold": 0, "k": 5, "auc": 0.8,
+         "average_precision": 0.7, "ll_best": -100.0,
+         "heldout_loglik": -50.0},
+        # Legacy record: no heldout_loglik key.
+        {"unit": "fold0_k50", "fold": 0, "k": 50, "auc": 0.6,
+         "average_precision": 0.5, "ll_best": -80.0},
+    ]
+    for r in recs:
+        with open(os.path.join(units, r["unit"] + ".json"), "w") as fh:
+            json.dump(r, fh)
+    report = merge_report(str(tmp_path))
+    s = report["summary"]
+    # Legacy fallback is ll_best: -50 (k=5) > -80 (k=50) -> k=5 selected.
+    assert s["best_k_per_fold"] == {"0": 5}
+    assert abs(s["mean_auc_selected"] - 0.8) < 1e-9
+    assert abs(s["mean_auc"] - 0.7) < 1e-9

@@ -153,7 +153,12 @@ def analyze_checkpoint(
             states, tuples_j, interact_rating
         )
         if labels is not None:
-            labels_j = jnp.asarray(np.asarray(labels, dtype=np.int32))
+            # ``labels`` arrives as raw rating classes (cmd_analyze feeds
+            # ds.ratings); binarize against the interaction class exactly
+            # like eval.py — raw indices would corrupt AUC at n_ratings > 2.
+            labels_j = jnp.asarray(
+                (np.asarray(labels) == interact_rating).astype(np.int32)
+            )
             per_auc = [
                 float(
                     auc(

@@ -296,7 +296,11 @@ def cmd_bench(args) -> int:
     import subprocess
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return subprocess.call([sys.executable, os.path.join(repo_root, "bench.py")])
+    cmd = [sys.executable, os.path.join(repo_root, "bench.py")]
+    cmd += ["-n", str(args.n), "-g", str(args.genes), "-k", str(args.k)]
+    cmd += ["-s", str(args.samples), "--sweeps", str(args.sweeps)]
+    cmd += ["--backend", args.backend]
+    return subprocess.call(cmd)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -359,6 +363,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_sy.set_defaults(fn=cmd_synth)
 
     p_be = subs.add_parser("bench", help="run the repo benchmark")
+    p_be.add_argument("-n", type=int, default=131072, help="triplets")
+    p_be.add_argument("-g", "--genes", type=int, default=1000)
+    p_be.add_argument("-k", type=int, default=10)
+    p_be.add_argument("-s", "--samples", type=int, default=10)
+    p_be.add_argument("--sweeps", type=int, default=120)
+    p_be.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     p_be.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

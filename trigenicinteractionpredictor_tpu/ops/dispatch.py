@@ -4,6 +4,10 @@
 budget, else the jnp/XLA path.  Both are numerically interchangeable
 (tests/test_kernel_parity.py); the kernel is ~12x faster on the axon chip
 at Kuzmin scale (measured 2.05 ms vs 24 ms per sweep at N=131k, K=10).
+
+Every returned kernel fn carries a ``tile_b`` attribute — the trainer pads
+the batch to ``data_shards * tile_b`` only for genuine Pallas kernels, never
+for the jnp row-chunk fallback (which needs no tile alignment).
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ import functools
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from trigenicinteractionpredictor_tpu.ops.em import em_sufficient_stats
 
@@ -63,21 +68,32 @@ def resolve_stats_fn(
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
-    The tile size shrinks automatically for large K/G working sets.
+    The tile size shrinks automatically for large K/G/ensemble working sets.
     Raises on backend='pallas' when no tile fits.  The digenic (arity-2)
     family always uses the jnp path: its sweep is K^2-scale and nowhere
     near the MXU roofline, so a hand kernel would buy nothing.
     """
     if backend in (None, "", "jnp") or arity != 3:
+        if backend not in (None, "", "jnp", "auto", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
         return None
+    if backend not in ("auto", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
     # The ensemble kernel unrolls the per-restart algebra in its tile body;
     # very wide ensembles both exceed VMEM and blow up the Mosaic program
     # (S=50 crashes the compile helper).  Cap the lane-stacked group and
-    # run groups under lax.map.
+    # run groups under lax.map (remainder group handled separately, so any
+    # S works — including primes).
     if n_samples > _MAX_ENSEMBLE_GROUP:
         group = _pick_group(n_genes, k, tile_b, n_samples)
-        if group is not None and jax.default_backend() == "tpu":
-            return _pallas_grouped_fn(_fit_tile(n_genes, k, tile_b, group), group)
+        # 'auto' only groups on real TPUs (interpret-mode groups on CPU are
+        # slower than jnp); an explicit 'pallas' request is honored anywhere.
+        if group is not None and (
+            backend == "pallas" or jax.default_backend() == "tpu"
+        ):
+            return _pallas_grouped_fn(
+                _fit_tile(n_genes, k, tile_b, group), group
+            )
         tile = None  # fall through to single-restart kernel or jnp
     else:
         tile = _fit_tile(n_genes, k, tile_b, n_samples)
@@ -93,17 +109,22 @@ def resolve_stats_fn(
         if tile1 is not None:
             return _pallas_single_fn(tile1)
         raise ValueError(
-            f"pallas kernel does not fit VMEM at G={n_genes}, K={k}; "
-            "use backend='jnp'"
+            f"pallas kernel does not fit VMEM at G={n_genes}, K={k}, "
+            f"S={n_samples} (no tile >= 128 fits"
+            + (
+                f"; no ensemble group <= {_MAX_ENSEMBLE_GROUP} fits either"
+                if n_samples > _MAX_ENSEMBLE_GROUP
+                else ""
+            )
+            + "); use backend='jnp'"
         )
-    if backend == "auto":
-        if jax.default_backend() == "tpu":
-            if tile is not None:
-                return _pallas_fn(tile)
-            if tile1 is not None:
-                return _pallas_single_fn(tile1)
-        return None
-    raise ValueError(f"unknown backend {backend!r}")
+    # backend == "auto"
+    if jax.default_backend() == "tpu":
+        if tile is not None:
+            return _pallas_fn(tile)
+        if tile1 is not None:
+            return _pallas_single_fn(tile1)
+    return None
 
 
 def _pallas_fn(tile_b: int) -> Callable:
@@ -113,6 +134,7 @@ def _pallas_fn(tile_b: int) -> Callable:
 
     fn = functools.partial(pallas_em_ensemble_stats, tile_b=tile_b)
     fn.ensemble = True  # one call with stacked restarts (sharded_em.py)
+    fn.tile_b = tile_b
     return fn
 
 
@@ -125,37 +147,67 @@ _MAX_ENSEMBLE_GROUP = 10
 def _pick_group(
     n_genes: int, k: int, tile_b: int, n_samples: int
 ) -> Optional[int]:
-    """Largest group size <= _MAX_ENSEMBLE_GROUP dividing n_samples whose
-    ensemble kernel fits VMEM; None if no divisor > 1 works."""
+    """Group size for lane-stacking a wide ensemble: the largest
+    g <= _MAX_ENSEMBLE_GROUP whose ensemble kernel fits VMEM, preferring
+    exact divisors of n_samples (one compiled kernel instead of two).
+    None if nothing >= 2 fits."""
+    best = None
     for g in range(min(_MAX_ENSEMBLE_GROUP, n_samples), 1, -1):
-        if n_samples % g == 0 and _fit_tile(n_genes, k, tile_b, g) is not None:
+        if _fit_tile(n_genes, k, tile_b, g) is None:
+            continue
+        if n_samples % g == 0:
             return g
-    return None
+        if best is None:
+            best = g
+    return best
 
 
 def _pallas_grouped_fn(tile_b: int, group: int) -> Callable:
-    """Ensemble kernel over restart groups: [S] -> [S/group, group] under
-    lax.map, each group lane-stacked in one kernel call."""
+    """Ensemble kernel over restart groups: full groups of ``group`` lanes
+    run under lax.map; a non-divisor tail runs as one extra (narrower)
+    kernel call, so any S works."""
     from trigenicinteractionpredictor_tpu.ops.pallas_em import (
         pallas_em_ensemble_stats,
     )
 
     def fn(thetas, ps, batch, precision=None):
         S = thetas.shape[0]
-        n_g = S // group
-        th_g = thetas.reshape(n_g, group, *thetas.shape[1:])
-        p_g = ps.reshape(n_g, group, *ps.shape[1:])
-        stats = jax.lax.map(
-            lambda tp: pallas_em_ensemble_stats(
-                tp[0], tp[1], batch, tile_b=tile_b
-            ),
-            (th_g, p_g),
-        )
+        n_full = S // group
+        rem = S % group
+        outs = []
+        if n_full:
+            th_g = thetas[: n_full * group].reshape(
+                n_full, group, *thetas.shape[1:]
+            )
+            p_g = ps[: n_full * group].reshape(n_full, group, *ps.shape[1:])
+            stats = jax.lax.map(
+                lambda tp: pallas_em_ensemble_stats(
+                    tp[0], tp[1], batch, tile_b=tile_b
+                ),
+                (th_g, p_g),
+            )
+            outs.append(
+                jax.tree.map(
+                    lambda x: x.reshape(n_full * group, *x.shape[2:]), stats
+                )
+            )
+        if rem:
+            outs.append(
+                pallas_em_ensemble_stats(
+                    thetas[n_full * group :],
+                    ps[n_full * group :],
+                    batch,
+                    tile_b=tile_b,
+                )
+            )
+        if len(outs) == 1:
+            return outs[0]
         return jax.tree.map(
-            lambda x: x.reshape(S, *x.shape[2:]), stats
+            lambda a, b: jnp.concatenate([a, b], axis=0), *outs
         )
 
     fn.ensemble = True  # takes stacked restarts in one call
+    fn.tile_b = tile_b
     return fn
 
 
@@ -165,4 +217,6 @@ def _pallas_single_fn(tile_b: int) -> Callable:
         pallas_em_sufficient_stats,
     )
 
-    return functools.partial(pallas_em_sufficient_stats, tile_b=tile_b)
+    fn = functools.partial(pallas_em_sufficient_stats, tile_b=tile_b)
+    fn.tile_b = tile_b
+    return fn

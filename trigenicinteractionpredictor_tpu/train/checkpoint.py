@@ -30,7 +30,12 @@ def save_checkpoint(
     ll_trace: np.ndarray,
     key: Optional[np.ndarray] = None,
     config_json: Optional[str] = None,
+    extra: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
+    """``extra``: additional named arrays a training mode needs to resume
+    exactly (e.g. the stepwise EMA statistics carry + update counter).
+    Stored under ``extra_``-prefixed keys so the base format is unchanged
+    and old checkpoints stay loadable."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
     np.savez(
@@ -41,6 +46,7 @@ def save_checkpoint(
         ll_trace=np.asarray(ll_trace, dtype=np.float64),
         key=np.asarray(key) if key is not None else np.zeros(0, dtype=np.uint32),
         config_json=np.bytes_((config_json or "").encode()),
+        **{f"extra_{k}": np.asarray(v) for k, v in (extra or {}).items()},
     )
     # np.savez appends .npz to the filename it opens.
     os.replace(tmp + ".npz", path)
@@ -55,6 +61,11 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
             "ll_trace": z["ll_trace"],
             "key": z["key"] if z["key"].size else None,
             "config_json": cfg,
+            "extra": {
+                k[len("extra_"):]: z[k]
+                for k in z.files
+                if k.startswith("extra_")
+            },
         }
 
 

@@ -146,10 +146,22 @@ def merge_report(out_dir: str) -> dict:
     by_fold: dict = {}
     for r in recs:
         by_fold.setdefault(r["fold"], []).append(r)
+    # Unit JSONs from pre-heldout-selection runs lack "heldout_loglik"; a
+    # resumed/mixed out_dir is a supported elastic-recovery flow, so fall
+    # back to the training likelihood rather than KeyError.
     best_per_fold = {
-        f: max(rs, key=lambda r: r["heldout_loglik"]) for f, rs in by_fold.items()
+        f: max(rs, key=lambda r: r.get("heldout_loglik", r["ll_best"]))
+        for f, rs in by_fold.items()
     }
+    selected = list(best_per_fold.values())
     summary = {
+        # Headline quality: mean over the SELECTED model per fold.  The
+        # all-units mean below deliberately mixes every K in the grid
+        # (including overfit ones) — keep it for debugging, not headlines.
+        "mean_auc_selected": float(np.mean([r["auc"] for r in selected])),
+        "mean_ap_selected": float(
+            np.mean([r["average_precision"] for r in selected])
+        ),
         "mean_auc": float(np.mean([r["auc"] for r in recs])),
         "mean_ap": float(np.mean([r["average_precision"] for r in recs])),
         "best_k_per_fold": {str(f): r["k"] for f, r in best_per_fold.items()},

@@ -102,8 +102,12 @@ def fit(
         raise ValueError(f"samples={S} must divide by ensemble axis {ens_size}")
 
     # Resolve the compute backend (jnp vs Pallas fused kernel); the digenic
-    # (arity-2) family always takes the jnp path.
+    # (arity-2) family always takes the jnp path.  ``kernel_tile`` is only
+    # set for Pallas kernels (dispatch attaches .tile_b) — the jnp row-chunk
+    # partial below must NOT trigger tile-aligned padding, which would
+    # silently inflate stepwise minibatch sizes (ADVICE round 1).
     arity = train_ds.arity
+    kernel_tile = 0
     if stats_fn is None:
         from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
 
@@ -116,18 +120,21 @@ def fit(
             n_samples=S // ens_size,  # restarts resident per device
         )
         if stats_fn is not None:
-            log.log("backend", kernel="pallas", tile_b=cfg.engine.tile_b)
+            kernel_tile = getattr(stats_fn, "tile_b", cfg.engine.tile_b)
+            log.log("backend", kernel="pallas", tile_b=kernel_tile)
         elif cfg.engine.jnp_row_chunk > 0:
             # XLA path: bound fusion tiles at large K (config.py knob).
             stats_fn = functools.partial(
                 em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk
             )
+    else:
+        kernel_tile = getattr(stats_fn, "tile_b", 0)
 
     # Pad rows so every data shard is equal-length (and, on the kernel path,
     # a multiple of the kernel tile); weight-0 rows are inert.
     pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
-    if stats_fn is not None:
-        pad = _lcm(pad, data_size * cfg.engine.tile_b)
+    if kernel_tile:
+        pad = _lcm(pad, data_size * kernel_tile)
     ds = train_ds.pad_to(pad)
     degrees = jnp.asarray(ds.degrees())
     batch = Batch(
@@ -136,20 +143,18 @@ def fit(
         weights=jnp.asarray(ds.weights),
     )
 
-    # Restart ensemble init (or resume).
+    # Restart ensemble init (or resume).  The PRNG key only seeds the init —
+    # classic EM is deterministic afterwards, so restoring ``states``
+    # restores everything (the key rides in the checkpoint for provenance);
+    # the stepwise mode additionally needs its EMA carry + update counter,
+    # restored below via the checkpoint's ``extra`` arrays.
     start_sweep = 0
     ll_rows: List[np.ndarray] = []
-    if resume is not None:
-        ck = load_checkpoint(resume)
-        states = ModelState(
-            theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
-        )
-        start_sweep = ck["sweep"]
-        ll_rows = [row for row in np.atleast_2d(ck["ll_trace"])] if ck["ll_trace"].size else []
-        log.log("resume", path=resume, sweep=start_sweep)
-    else:
+    resume_extra: dict = {}
+
+    def _fresh_states():
         keys = jax.random.split(jax.random.key(tcfg.seed), S)
-        states = jax.vmap(
+        return jax.vmap(
             lambda k: init_state(
                 k,
                 ds.n_genes,
@@ -160,25 +165,45 @@ def fit(
             )
         )(keys)
 
+    if resume is not None:
+        ck = load_checkpoint(resume)
+        states = ModelState(
+            theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
+        )
+        start_sweep = ck["sweep"]
+        ll_rows = [row for row in np.atleast_2d(ck["ll_trace"])] if ck["ll_trace"].size else []
+        resume_extra = ck.get("extra") or {}
+        log.log("resume", path=resume, sweep=start_sweep)
+    else:
+        states = _fresh_states()
+
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
 
     if tcfg.minibatch > 0:
+        stepwise_carry = None
         if resume is not None:
-            # The running-statistics carry is not checkpointed, so a
-            # stepwise unit restarts from scratch rather than resuming —
-            # raising here would permanently wedge the CV/sweep driver's
-            # elastic relaunch (it passes resume whenever a unit left a
-            # checkpoint behind).
-            log.log("stepwise_restart", ignored_resume=resume)
-            keys = jax.random.split(jax.random.key(tcfg.seed), S)
-            states = jax.vmap(
-                lambda k: init_state(
-                    k, ds.n_genes, tcfg.k, ds.n_ratings,
-                    alpha=tcfg.init_alpha, arity=arity,
+            if "stepwise_t" in resume_extra:
+                from trigenicinteractionpredictor_tpu.ops.em import SweepStats
+
+                stepwise_carry = (
+                    SweepStats(
+                        theta_hat=jnp.asarray(resume_extra["ema_theta_hat"]),
+                        p_hat=jnp.asarray(resume_extra["ema_p_hat"]),
+                        loglik=jnp.asarray(resume_extra["ema_loglik"]),
+                    ),
+                    float(resume_extra["stepwise_t"]),
                 )
-            )(keys)
+            else:
+                # Legacy checkpoint without the EMA carry: restart from
+                # scratch (logged) — raising would permanently wedge the
+                # CV/sweep driver's elastic relaunch.
+                log.log("stepwise_restart", ignored_resume=resume)
+                states = _fresh_states()
+                start_sweep = 0
+                ll_rows = []
         return _run_stepwise(
-            cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path
+            cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path,
+            start_epoch=start_sweep, ll_rows=ll_rows, carry=stepwise_carry,
         )
 
     # Sweeps between likelihood checks run as ONE device-side lax.scan per
@@ -199,6 +224,10 @@ def fit(
     deg_sh = replicate(mesh, degrees)
 
     config_json = cfg.to_json()
+    # Init-key provenance: classic EM consumes no randomness after init, so
+    # the checkpointed states are complete for resume; the key rides along
+    # so a checkpoint alone identifies the restart ensemble it came from.
+    key_data = np.asarray(jax.random.key_data(jax.random.key(tcfg.seed)))
     freq = max(tcfg.likelihood_freq, 1)
     # The CPU backend's in-process collectives deadlock (rendezvous timeout)
     # when many sharded steps are in flight on virtual devices — throttle
@@ -266,6 +295,7 @@ def fit(
                 ),
                 sweep,
                 np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+                key=key_data,
                 config_json=config_json,
             )
     stop = flush_pending() or stop
@@ -288,6 +318,7 @@ def fit(
             ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
             sweep,
             np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+            key=key_data,
             config_json=config_json,
         )
     return FitResult(
@@ -311,6 +342,9 @@ def _run_stepwise(
     step_kwargs: dict,
     log,
     checkpoint_path: Optional[str],
+    start_epoch: int = 0,
+    ll_rows: Optional[List[np.ndarray]] = None,
+    carry=None,
 ) -> FitResult:
     """Stepwise (incremental/minibatch) EM epochs (TrainConfig.minibatch).
 
@@ -320,6 +354,12 @@ def _run_stepwise(
     parallel/sharded_em.py::make_sharded_stepwise_epoch for the update).
     ``cfg.train.sweeps`` counts epochs here; the likelihood trace rows are
     epoch means of the pre-update minibatch log-likelihoods.
+
+    Resume: ``carry`` is ``(ema SweepStats, t)`` restored from a checkpoint
+    (with ``start_epoch``/``ll_rows``).  The epoch shuffle is derived from
+    (seed, epoch) — not a sequential host RNG stream — so a resumed run
+    replays the exact permutation sequence fit-from-scratch would have used
+    (tested in tests/test_trainer.py resume-equivalence).
     """
     from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
         make_sharded_stepwise_epoch,
@@ -349,8 +389,13 @@ def _run_stepwise(
     ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
 
     states = shard_ensemble(mesh, states)
-    ema = shard_ensemble(mesh, zero_stats_like(states))
-    t = replicate(mesh, jnp.zeros((), jnp.float32))
+    if carry is not None:
+        ema = shard_ensemble(mesh, carry[0])
+        t = replicate(mesh, jnp.asarray(carry[1], jnp.float32))
+        log.log("stepwise_resume", epoch=start_epoch, t=float(carry[1]))
+    else:
+        ema = shard_ensemble(mesh, zero_stats_like(states))
+        t = replicate(mesh, jnp.zeros((), jnp.float32))
     deg_sh = replicate(mesh, degrees)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -358,17 +403,18 @@ def _run_stepwise(
     from trigenicinteractionpredictor_tpu.parallel.mesh import DATA_AXIS
 
     mb_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-    rng = np.random.default_rng(tcfg.seed ^ 0x5EED)
     config_json = cfg.to_json()
     S = states.theta.shape[0]
     ce = tcfg.checkpoint_every if checkpoint_path else 0
     freq = max(tcfg.likelihood_freq, 1)
-    ll_rows: List[np.ndarray] = []
+    ll_rows = list(ll_rows or [])
     prev_check: Optional[np.ndarray] = None
     t0_wall = time.perf_counter()
-    epoch = 0
+    epoch = start_epoch
     stop = False
     while epoch < tcfg.sweeps and not stop:
+        # (seed, epoch)-derived shuffle — replayable across resume.
+        rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (epoch + 1))
         perm = rng.permutation(ds.n_rows)
         batches = Batch(
             triplets=jax.device_put(
@@ -384,6 +430,16 @@ def _run_stepwise(
         )
         states, ema, ll, t = epoch_step(states, ema, t, batches, deg_sh)
         epoch += 1
+
+        def _stepwise_extra():
+            # The EMA statistics carry + update counter — everything beyond
+            # (theta, p) a stepwise unit needs to resume exactly.
+            return {
+                "ema_theta_hat": np.asarray(ema.theta_hat),
+                "ema_p_hat": np.asarray(ema.p_hat),
+                "ema_loglik": np.asarray(ema.loglik),
+                "stepwise_t": np.asarray(t, dtype=np.float32),
+            }
         if epoch % freq == 0 or epoch == tcfg.sweeps:
             ll_np = np.asarray(ll, dtype=np.float64)
             ll_rows.append(ll_np)
@@ -407,6 +463,7 @@ def _run_stepwise(
                 epoch,
                 np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
                 config_json=config_json,
+                extra=_stepwise_extra(),
             )
 
     jax.block_until_ready(states.theta)
@@ -420,18 +477,19 @@ def _run_stepwise(
         ),
     )
     final_ll = np.asarray(ll_fn(states, full_batch), dtype=np.float64)
-    tps = epoch * ds.n_real / max(wall, 1e-9)
+    tps = (epoch - start_epoch) * ds.n_real / max(wall, 1e-9)
     log.log(
         "fit_done", sweeps=epoch, wall_s=wall, triplets_per_sec=tps,
         ll_best=float(final_ll.max()), mode="stepwise",
     )
-    if checkpoint_path:
+    if checkpoint_path and epoch > start_epoch:
         save_checkpoint(
             checkpoint_path,
             ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
             epoch,
             np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
             config_json=config_json,
+            extra=_stepwise_extra(),
         )
     return FitResult(
         states=ModelState(
