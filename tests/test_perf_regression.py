@@ -1,0 +1,97 @@
+"""Benchmark regression gate (SURVEY.md §5 tier 6: "asserted not to
+regress").
+
+tests/conftest.py forces the CPU backend for the whole suite, so these
+tests measure in a SUBPROCESS with the axon environment intact: bench.py —
+the same harness the round driver runs — is the measurement vehicle, and a
+fresh number below ``floor_fraction`` of the checked-in record
+(tests/perf_records.json) fails the test.  The records are round-1 on-chip
+measurements (BASELINE.md); update them only upward from verified runs.
+
+Self-skips when no TPU is reachable (CI hosts without the axon chip).
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+RECORDS = json.load(open(os.path.join(HERE, "perf_records.json")))
+
+_TPU_ENV = {
+    **os.environ,
+    "PYTHONPATH": f"{REPO}:/root/.axon_site",
+}
+# Drop the CPU-forcing knobs the suite environment may carry.
+_TPU_ENV.pop("JAX_PLATFORMS", None)
+_TPU_ENV.pop("XLA_FLAGS", None)
+
+
+def _tpu_available() -> bool:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            env=_TPU_ENV, capture_output=True, text=True, timeout=120,
+        )
+        return out.stdout.strip() == "tpu"
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.slow,
+    pytest.mark.skipif(not _tpu_available(), reason="no TPU reachable"),
+]
+
+
+def _run_bench(extra_args, timeout=900):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *extra_args],
+        env=_TPU_ENV, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    return result, proc.stderr
+
+
+def test_headline_ensemble_throughput_and_target():
+    """S=10 production shape: >= 0.7x the recorded 167M updates/s AND the
+    bench's own vs_baseline >= the 100x BASELINE.json target."""
+    result, stderr = _run_bench(["--sweeps", "60"])
+    floor = RECORDS["floor_fraction"] * RECORDS["records"]["ensemble_s10_k10"]
+    assert result["value"] >= floor, (
+        f"S=10 throughput regressed: {result['value']:.3g} < {floor:.3g} "
+        f"(record {RECORDS['records']['ensemble_s10_k10']:.3g}); bench stderr:\n"
+        + stderr[-1000:]
+    )
+    assert result["vs_baseline"] >= RECORDS["vs_baseline_min"], result
+
+    # The same bench run logs the single-restart datapoint to stderr.
+    m = re.search(
+        r"x 1 restarts in .*-> ([\d,]+) restart-triplet updates/s", stderr
+    )
+    assert m, f"S=1 line missing from bench stderr:\n{stderr[-1000:]}"
+    s1 = float(m.group(1).replace(",", ""))
+    floor1 = RECORDS["floor_fraction"] * RECORDS["records"]["single_s1_k10"]
+    assert s1 >= floor1, f"S=1 throughput regressed: {s1:.3g} < {floor1:.3g}"
+
+
+def test_large_k_throughput():
+    """K=50 x S=10 (grouped/serial-restart kernel regime): >= 0.7x of the
+    recorded 21.7M updates/s."""
+    result, stderr = _run_bench(
+        ["-k", "50", "--sweeps", "30", "-n", "32768"], timeout=1800
+    )
+    # Record was measured at N=131072; the smaller N here trades wall time
+    # for a modest amortization penalty already covered by the 0.7 floor.
+    floor = RECORDS["floor_fraction"] * RECORDS["records"]["large_k50_s10"]
+    assert result["value"] >= floor, (
+        f"K=50 throughput regressed: {result['value']:.3g} < {floor:.3g}; "
+        f"bench stderr:\n{stderr[-1000:]}"
+    )
