@@ -84,8 +84,11 @@ def test_resolve_auto_on_cpu_is_jnp():
     assert resolve_stats_fn("auto", 1000, 10) is None  # tests run on CPU
     assert resolve_stats_fn("jnp", 1000, 10) is None
     assert resolve_stats_fn("pallas", 1000, 10) is not None
-    with pytest.raises(ValueError):
-        resolve_stats_fn("pallas", 500_000, 10)
+    # Past the one-hot kernel's G ceiling, explicit pallas now resolves to
+    # the large-G pre-gathered/sorted-scatter path (needs a batch plan).
+    fn_large = resolve_stats_fn("pallas", 500_000, 10)
+    assert getattr(fn_large, "needs_plan", False)
+    assert getattr(fn_large, "ensemble", False)
     with pytest.raises(ValueError):
         resolve_stats_fn("nope", 10, 10)
 

@@ -75,6 +75,33 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         "--kappa", type=float, default=0.6,
         help="stepwise EM statistics decay exponent, in (0.5, 1]",
     )
+    sub.add_argument(
+        "--anneal-beta0", type=float, default=1.0,
+        help="deterministic-annealing start temperature (beta0 < 1 smooths "
+        "early responsibilities; ramps to 1; 1.0 = off)",
+    )
+    sub.add_argument(
+        "--anneal-sweeps", type=int, default=0,
+        help="sweeps over which beta ramps to 1 (0 = half of -i)",
+    )
+    sub.add_argument(
+        "--refine-rounds", type=int, default=0,
+        help="perturb-and-resweep rounds from the best restart after the "
+        "main fit (0 = off)",
+    )
+    sub.add_argument(
+        "--refine-sweeps", type=int, default=0,
+        help="extra sweeps per refinement round (0 = i/4)",
+    )
+    sub.add_argument(
+        "--refine-eps", type=float, default=0.25,
+        help="refinement perturbation strength toward Dirichlet noise",
+    )
+    sub.add_argument(
+        "--init", choices=["random", "spectral"], default="random",
+        help="restart initialization: reference-style random simplexes or "
+        "informed spectral init from pairwise co-interaction marginals",
+    )
 
 
 def _make_config(args, n_folds: int = 1):
@@ -111,6 +138,12 @@ def _make_config(args, n_folds: int = 1):
             debug_nans=getattr(args, "debug_nans", False),
             minibatch=getattr(args, "minibatch", 0),
             stepwise_kappa=getattr(args, "kappa", 0.6),
+            anneal_beta0=getattr(args, "anneal_beta0", 1.0),
+            anneal_sweeps=getattr(args, "anneal_sweeps", 0),
+            refine_rounds=getattr(args, "refine_rounds", 0),
+            refine_sweeps=getattr(args, "refine_sweeps", 0),
+            refine_eps=getattr(args, "refine_eps", 0.25),
+            init_method=getattr(args, "init", "random"),
         ),
         split=SplitConfig(
             test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed

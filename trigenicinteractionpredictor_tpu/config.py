@@ -78,6 +78,28 @@ class TrainConfig:
     # rho_t = (stepwise_t0 + t)^(-stepwise_kappa), kappa in (0.5, 1].
     stepwise_kappa: float = 0.6
     stepwise_t0: float = 2.0
+    # --- quality knobs beyond the reference's EM (all default OFF so the
+    # default configuration reproduces reference parity; VERDICT round 1
+    # item 1 / BASELINE.json:5 "match or beat") -------------------------
+    # Deterministic annealing (DAEM): start the EM at inverse temperature
+    # beta0 < 1 (responsibilities smoothed toward uniform, merging nearby
+    # local-optimum basins) and ramp geometrically to beta = 1 over
+    # anneal_sweeps.  1.0 = off.
+    anneal_beta0: float = 1.0
+    # Sweeps over which beta ramps beta0 -> 1; 0 = half of ``sweeps``.
+    anneal_sweeps: int = 0
+    # Perturb-and-resweep refinement: after the main fit, re-seed the whole
+    # restart ensemble from Dirichlet perturbations of the best state and
+    # run extra sweeps, keeping the best final likelihood.  Restart 0 keeps
+    # the unperturbed best state, so (by EM monotonicity) refinement never
+    # loses likelihood.  0 = off.
+    refine_rounds: int = 0
+    refine_sweeps: int = 0           # extra sweeps per round; 0 = sweeps/4
+    refine_eps: float = 0.25         # perturbation mix toward Dirichlet noise
+    # Initialization: 'random' (reference-style Dirichlet) or 'spectral'
+    # (informed init from the pairwise co-interaction spectrum; restarts
+    # differ by Dirichlet noise mixed in at increasing strength).
+    init_method: str = "random"
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,42 @@ def _fit_tile(
     return None
 
 
+# Large-G path (ops/pallas_em_large.py): no G-sized kernel buffers, so the
+# VMEM model only depends on (tile, K, S, wb).
+_LARGE_G_WB = 512
+
+
+def large_kernel_fits(
+    k: int, tile_b: int, n_samples: int = 1, wb: int = _LARGE_G_WB
+) -> bool:
+    s = max(n_samples, 1)
+    sk = s * k
+    r = 3  # worst-case rating classes for the budget
+    e_kernel = (
+        6 * tile_b * sk * 4 * 2        # th tiles in + s tiles out, buffered
+        + tile_b * r * k * k * 4 * 2   # T_all / A3_all widest tiles
+        + 2 * s * k * k * k * r * 4    # p views
+        + s * k * k * r * k * 4        # sacc accumulator
+    )
+    scatter = (
+        tile_b * wb * 4                # local one-hot
+        + wb * sk * 4 * 2              # output block + contrib
+        + tile_b * sk * 4 * 2          # value tile, buffered
+    )
+    return max(e_kernel, scatter) < _VMEM_BUDGET
+
+
+def _fit_large_tile(
+    k: int, tile_b: int, n_samples: int = 1
+) -> Optional[int]:
+    t = tile_b
+    while t >= 128:
+        if large_kernel_fits(k, t, n_samples):
+            return t
+        t //= 2
+    return None
+
+
 def resolve_stats_fn(
     backend: str,
     n_genes: int,
@@ -103,11 +139,23 @@ def resolve_stats_fn(
     # it the per-restart kernel keeps the MXU path (measured 20.4M
     # triplets/s at K=50 vs 1.4M on the chunked jnp path).
     tile1 = _fit_tile(n_genes, k, tile_b, 1) if tile is None and k >= 32 else None
+    # Large-G fallback: the one-hot kernels are G-capped by their [Bt, G]
+    # VMEM one-hots; the pre-gathered + sorted-block-scatter path
+    # (ops/pallas_em_large.py) has no G-sized buffer, at the cost of a
+    # host-built scatter plan (Batch.scatter_*; the trainer attaches one
+    # when this fn's .needs_plan is set).  Only worth it once the one-hot
+    # kernel is out of the game; capped at the same Mosaic program-size
+    # ensemble width.
+    tile_lg = None
+    if tile is None and tile1 is None and n_samples <= _MAX_ENSEMBLE_GROUP:
+        tile_lg = _fit_large_tile(k, tile_b, n_samples)
     if backend == "pallas":
         if tile is not None:
             return _pallas_fn(tile)
         if tile1 is not None:
             return _pallas_single_fn(tile1)
+        if tile_lg is not None:
+            return _pallas_large_fn(tile_lg, n_genes)
         raise ValueError(
             f"pallas kernel does not fit VMEM at G={n_genes}, K={k}, "
             f"S={n_samples} (no tile >= 128 fits"
@@ -124,6 +172,8 @@ def resolve_stats_fn(
             return _pallas_fn(tile)
         if tile1 is not None:
             return _pallas_single_fn(tile1)
+        if tile_lg is not None:
+            return _pallas_large_fn(tile_lg, n_genes)
     return None
 
 
@@ -208,6 +258,26 @@ def _pallas_grouped_fn(tile_b: int, group: int) -> Callable:
 
     fn.ensemble = True  # takes stacked restarts in one call
     fn.tile_b = tile_b
+    return fn
+
+
+def _pallas_large_fn(tile_b: int, n_genes: int) -> Callable:
+    """Large-G ensemble path; requires a scatter plan on the Batch."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+        large_g_ensemble_stats,
+    )
+
+    n_blocks = -(-n_genes // _LARGE_G_WB)
+    fn = functools.partial(
+        large_g_ensemble_stats,
+        tile_b=tile_b,
+        wb=_LARGE_G_WB,
+        n_blocks=n_blocks,
+    )
+    fn.ensemble = True
+    fn.tile_b = tile_b
+    fn.wb = _LARGE_G_WB
+    fn.needs_plan = True
     return fn
 
 

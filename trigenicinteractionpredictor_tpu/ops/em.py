@@ -37,7 +37,7 @@ small, so the MXU is nowhere near FLOP-bound and f32 accuracy is free.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,11 +77,22 @@ def map_restarts(f, states):
 
 
 class Batch(NamedTuple):
-    """Device-side view of a packed triplet shard (see data/packing.py)."""
+    """Device-side view of a packed triplet shard (see data/packing.py).
+
+    The three ``scatter_*`` fields are optional host-precomputed gather/
+    scatter plans for the large-G Pallas path (ops/pallas_em_large.py):
+    a gene-sorted permutation of the three positional value streams plus
+    per-row within-block local ids and per-tile gene-block assignments.
+    They are None on every other path (None fields vanish from the pytree,
+    so existing jits/shardings are unaffected).
+    """
 
     triplets: jax.Array   # int32 [B, 3]
     ratings: jax.Array    # int32 [B]
     weights: jax.Array    # float32 [B]; 0 marks padding
+    scatter_perm: Optional[jax.Array] = None   # int32 [Lp] into [arity*B)
+    scatter_lid: Optional[jax.Array] = None    # int32 [Lp]; -1 = inert pad
+    scatter_block: Optional[jax.Array] = None  # int32 [n_tiles] gene blocks
 
 
 class SweepStats(NamedTuple):

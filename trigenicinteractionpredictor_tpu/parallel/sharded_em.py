@@ -41,9 +41,7 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     """
     sh = NamedSharding(mesh, P(DATA_AXIS))
     return Batch(
-        triplets=jax.device_put(batch.triplets, sh),
-        ratings=jax.device_put(batch.ratings, sh),
-        weights=jax.device_put(batch.weights, sh),
+        *(None if x is None else jax.device_put(x, sh) for x in batch)
     )
 
 
@@ -123,6 +121,7 @@ def make_sharded_multi_step(
     n_inner: int,
     precision=jax.lax.Precision.HIGHEST,
     stats_fn: Callable = em_sufficient_stats,
+    annealed: bool = False,
 ) -> Callable[[ModelState, Batch, jax.Array], Tuple[ModelState, jax.Array]]:
     """Like :func:`make_sharded_train_step` but runs ``n_inner`` chained EM
     sweeps per dispatch under ``lax.scan``.
@@ -134,10 +133,34 @@ def make_sharded_multi_step(
     into one device-side loop.  Returns ``(states, ll_hist)`` where
     ``ll_hist[i, s]`` is restart ``s``'s log-likelihood of the state *before*
     inner sweep ``i`` — the same per-sweep trace the single-step path yields.
+
+    ``annealed=True`` adds a fourth argument ``betas`` (f32[n_inner]), the
+    deterministic-annealing inverse temperatures (Ueda & Nakano-style DAEM).
+    The annealed E-step responsibility omega^beta propto (th1 th2 th3 p)^beta
+    factorizes into elementwise powers of the parameters, so each sweep just
+    evaluates the unchanged stats_fn on (theta**beta, p**beta) — the kernel,
+    the psum, and the normalize tail are identical.  beta < 1 smooths the
+    responsibilities toward uniform, merging nearby EM basins; the schedule
+    ramps beta -> 1, at which point the sweep is exact EM again.  While
+    beta < 1 the returned ll_hist rows are the *annealed* objective
+    sum_b w_b log D_beta, not the true likelihood — the trainer suspends
+    early-stopping until the ramp ends.
     """
 
-    def local_multi(states: ModelState, batch: Batch, degrees: jax.Array):
-        def body(carry, _):
+    def local_multi(states, batch, degrees, betas):
+        def body(carry, beta):
+            # Elementwise parameter powers implement the annealed E-step;
+            # beta == 1.0 is exact EM (the power is still computed, but the
+            # annealed path is only compiled when annealing is requested).
+            powered = ModelState(theta=carry.theta**beta, p=carry.p**beta)
+            stats = _per_restart_stats(stats_fn, powered, batch, precision)
+            stats = jax.lax.psum(stats, DATA_AXIS)
+            new = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
+                carry, stats, degrees
+            )
+            return new, stats.loglik
+
+        def body_plain(carry, _):
             stats = _per_restart_stats(stats_fn, carry, batch, precision)
             stats = jax.lax.psum(stats, DATA_AXIS)
             new = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
@@ -145,17 +168,32 @@ def make_sharded_multi_step(
             )
             return new, stats.loglik
 
-        states, ll_hist = jax.lax.scan(body, states, length=n_inner)
+        if annealed:
+            states, ll_hist = jax.lax.scan(body, states, betas)
+        else:
+            states, ll_hist = jax.lax.scan(body_plain, states, length=n_inner)
         return states, ll_hist  # ll_hist: [n_inner, S_local]
 
     shmapped = jax.shard_map(
         local_multi,
         mesh=mesh,
-        in_specs=(P(ENSEMBLE_AXIS), P(DATA_AXIS), P()),
+        in_specs=(P(ENSEMBLE_AXIS), P(DATA_AXIS), P(), P()),
         out_specs=(P(ENSEMBLE_AXIS), P(None, ENSEMBLE_AXIS)),
         check_vma=False,
     )
-    return jax.jit(shmapped)
+    jitted = jax.jit(shmapped)
+    if annealed:
+        return jitted
+    # Preserve the historical 3-arg signature for the non-annealed path.
+    zeros = None
+
+    def call(states, batch, degrees):
+        nonlocal zeros
+        if zeros is None:
+            zeros = replicate(mesh, jnp.ones((n_inner,), jnp.float32))
+        return jitted(states, batch, degrees, zeros)
+
+    return call
 
 
 def make_sharded_stepwise_epoch(

@@ -71,6 +71,20 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
+def _anneal_schedule(tcfg) -> Optional[np.ndarray]:
+    """Per-sweep DAEM inverse temperatures, or None when annealing is off.
+
+    Geometric ramp beta0 -> 1 over ``anneal_sweeps`` (default: half the
+    budget), then exact EM (beta = 1) for the remainder.
+    """
+    if tcfg.anneal_beta0 >= 1.0:
+        return None
+    A = tcfg.anneal_sweeps or max(tcfg.sweeps // 2, 1)
+    t = np.arange(tcfg.sweeps, dtype=np.float64)
+    ramp = tcfg.anneal_beta0 ** np.clip(1.0 - t / A, 0.0, 1.0)
+    return np.minimum(ramp, 1.0).astype(np.float32)
+
+
 def fit(
     cfg: Config,
     train_ds: TripletDataset,
@@ -79,11 +93,14 @@ def fit(
     resume: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     stats_fn=None,
+    init_states: Optional[ModelState] = None,
 ) -> FitResult:
     """Fit cfg.train.samples restarts of the MMSBM on a training split.
 
     ``resume`` — path to a checkpoint to continue from (same shapes).
     ``stats_fn`` — override the sufficient-stats kernel (Pallas path).
+    ``init_states`` — restart-stacked [S, ...] initial states overriding
+    the fresh random/spectral init (used by perturb-and-resweep refinement).
     """
     log = logger or get_logger()
     tcfg = cfg.train
@@ -143,6 +160,38 @@ def fit(
         weights=jnp.asarray(ds.weights),
     )
 
+    # The large-G kernel path scatters through a host-built sorted-block
+    # plan tied to this exact (padded, sharded) triplet array.  Stepwise EM
+    # reshuffles rows every epoch, which would invalidate the plan — fall
+    # back to the row-chunked jnp path there.
+    if getattr(stats_fn, "needs_plan", False):
+        if tcfg.minibatch > 0:
+            log.log("backend", kernel="jnp", reason="large-G plan vs stepwise")
+            stats_fn = functools.partial(
+                em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
+            )
+        else:
+            from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+                make_scatter_plan,
+            )
+
+            plan = make_scatter_plan(
+                np.asarray(ds.triplets),
+                ds.n_genes,
+                n_shards=data_size,
+                wb=stats_fn.wb,
+                tile=stats_fn.tile_b,
+            )
+            batch = batch._replace(
+                scatter_perm=jnp.asarray(plan.perm),
+                scatter_lid=jnp.asarray(plan.lid),
+                scatter_block=jnp.asarray(plan.block),
+            )
+            log.log(
+                "backend", kernel="pallas-large-g", tile_b=stats_fn.tile_b,
+                wb=stats_fn.wb, plan_rows=int(plan.perm.shape[0]),
+            )
+
     # Restart ensemble init (or resume).  The PRNG key only seeds the init —
     # classic EM is deterministic afterwards, so restoring ``states``
     # restores everything (the key rides in the checkpoint for provenance);
@@ -153,6 +202,16 @@ def fit(
     resume_extra: dict = {}
 
     def _fresh_states():
+        if tcfg.init_method == "spectral":
+            from trigenicinteractionpredictor_tpu.models.informed_init import (
+                spectral_init_arrays,
+            )
+
+            th, pp = spectral_init_arrays(
+                train_ds, tcfg.k, S, seed=tcfg.seed
+            )
+            log.log("init", method="spectral", samples=S)
+            return ModelState(theta=jnp.asarray(th), p=jnp.asarray(pp))
         keys = jax.random.split(jax.random.key(tcfg.seed), S)
         return jax.vmap(
             lambda k: init_state(
@@ -165,7 +224,11 @@ def fit(
             )
         )(keys)
 
-    if resume is not None:
+    if init_states is not None:
+        states = ModelState(
+            theta=jnp.asarray(init_states.theta), p=jnp.asarray(init_states.p)
+        )
+    elif resume is not None:
         ck = load_checkpoint(resume)
         states = ModelState(
             theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
@@ -211,11 +274,31 @@ def fit(
     # as much as a sweep at Kuzmin scale.  One compiled executable per
     # distinct chunk length (freq, plus a tail / checkpoint remainder).
     multi_steps: dict = {}
+    beta_sched = _anneal_schedule(tcfg)
+    anneal_end = (
+        0
+        if beta_sched is None
+        else (tcfg.anneal_sweeps or max(tcfg.sweeps // 2, 1))
+    )
+    if beta_sched is not None:
+        log.log(
+            "anneal", beta0=tcfg.anneal_beta0, ramp_sweeps=anneal_end,
+        )
 
-    def step_chunk(n: int, states, batch_sh, deg_sh):
-        if n not in multi_steps:
-            multi_steps[n] = make_sharded_multi_step(mesh, n, **step_kwargs)
-        return multi_steps[n](states, batch_sh, deg_sh)
+    def step_chunk(n: int, at_sweep: int, states, batch_sh, deg_sh):
+        annealed = beta_sched is not None and at_sweep < anneal_end
+        if (n, annealed) not in multi_steps:
+            multi_steps[(n, annealed)] = make_sharded_multi_step(
+                mesh, n, annealed=annealed, **step_kwargs
+            )
+        step = multi_steps[(n, annealed)]
+        if annealed:
+            betas = np.ones(n, np.float32)
+            lo = min(at_sweep, len(beta_sched))
+            hi = min(at_sweep + n, len(beta_sched))
+            betas[: hi - lo] = beta_sched[lo:hi]
+            return step(states, batch_sh, deg_sh, replicate(mesh, jnp.asarray(betas)))
+        return step(states, batch_sh, deg_sh)
 
     ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
 
@@ -270,7 +353,11 @@ def fit(
             triplets_per_sec=(at_sweep - start_sweep) * ds.n_real / max(dt, 1e-9),
         )
         halt = False
-        if tcfg.tol > 0 and prev_check is not None:
+        # While the DAEM ramp runs, ll rows are the annealed objective, not
+        # the true likelihood — suspend |dL| early-stopping until both this
+        # check and the previous one are past the ramp.
+        past_ramp = at_sweep >= anneal_end + 2 * freq
+        if tcfg.tol > 0 and prev_check is not None and past_ramp:
             if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
                 halt = True
                 log.log("early_stop", sweep=at_sweep, tol=tcfg.tol)
@@ -279,7 +366,7 @@ def fit(
 
     while sweep < tcfg.sweeps and not stop:
         n_inner = next_boundary(sweep) - sweep
-        states, ll_hist = step_chunk(n_inner, states, batch_sh, deg_sh)
+        states, ll_hist = step_chunk(n_inner, sweep, states, batch_sh, deg_sh)
         sweep += n_inner
         if throttle:
             jax.block_until_ready(ll_hist)
@@ -303,6 +390,15 @@ def fit(
     jax.block_until_ready(states.theta)
     wall = time.perf_counter() - t0
     final_ll = np.asarray(ll_fn(states, batch_sh), dtype=np.float64)
+
+    if tcfg.refine_rounds > 0:
+        states, final_ll, extra = _refine(
+            cfg, train_ds, mesh, log, states, final_ll, stats_fn
+        )
+        sweep += extra["sweeps"]
+        wall += extra["wall"]
+        ll_rows.extend(extra["ll_rows"])
+
     n_sweeps = sweep - start_sweep
     tps = n_sweeps * ds.n_real / max(wall, 1e-9)
     log.log(
@@ -330,6 +426,87 @@ def fit(
         sweeps_run=sweep,
         triplets_per_sec=tps,
         wall_seconds=wall,
+    )
+
+
+def _refine(
+    cfg: Config,
+    train_ds: TripletDataset,
+    mesh: Mesh,
+    log,
+    states: ModelState,
+    final_ll: np.ndarray,
+    stats_fn,
+):
+    """Perturb-and-resweep refinement (TrainConfig.refine_rounds).
+
+    Each round re-seeds the whole restart ensemble from the current best
+    state: restart 0 keeps it unperturbed (EM monotonicity then guarantees
+    the refined best likelihood never drops), restarts 1..S-1 mix it with
+    Dirichlet(1) noise at graded strengths around ``refine_eps`` — local
+    exploration of the best basin's neighborhood, where the round-1 hardness
+    study showed plain independent restarts never land.  The extra sweeps
+    reuse the already-resolved stats kernel and mesh via a recursive
+    :func:`fit` call with ``refine_rounds=0``.
+    """
+    import dataclasses
+
+    tcfg = cfg.train
+    S = tcfg.samples
+    r_sweeps = tcfg.refine_sweeps or max(tcfg.sweeps // 4, 1)
+    sub_train = dataclasses.replace(
+        tcfg,
+        sweeps=r_sweeps,
+        refine_rounds=0,
+        anneal_beta0=1.0,
+        anneal_sweeps=0,
+        checkpoint_every=0,
+        init_method="random",
+    )
+    sub_cfg = cfg.replace(train=sub_train)
+    cur_theta = np.asarray(states.theta)
+    cur_p = np.asarray(states.p)
+    cur_ll = np.asarray(final_ll)
+    extra = {"sweeps": 0, "wall": 0.0, "ll_rows": []}
+    for rnd in range(tcfg.refine_rounds):
+        best = int(np.argmax(cur_ll))
+        th_b, p_b = cur_theta[best], cur_p[best]
+        G, K = th_b.shape
+        R = p_b.shape[-1]
+        arity = p_b.ndim - 1
+        rng = np.random.default_rng(tcfg.seed + 7717 * (rnd + 1))
+        thetas = np.repeat(th_b[None], S, axis=0).astype(np.float32)
+        ps = np.repeat(p_b[None], S, axis=0).astype(np.float32)
+        for s in range(1, S):
+            eps = tcfg.refine_eps * (0.5 + s / max(S - 1, 1))
+            eps = min(eps, 0.95)
+            thetas[s] = (1 - eps) * th_b + eps * rng.dirichlet(
+                np.ones(K), size=G
+            )
+            ps[s] = (1 - eps) * p_b + eps * rng.dirichlet(
+                np.ones(R), size=(K,) * arity
+            )
+        log.log("refine", round=rnd, from_ll=float(cur_ll.max()), sweeps=r_sweeps)
+        res = fit(
+            sub_cfg,
+            train_ds,
+            mesh=mesh,
+            logger=log,
+            stats_fn=stats_fn,
+            init_states=ModelState(theta=thetas, p=ps),
+        )
+        extra["sweeps"] += res.sweeps_run
+        extra["wall"] += res.wall_seconds
+        extra["ll_rows"].extend(list(res.ll_trace))
+        if res.final_loglik.max() >= cur_ll.max():
+            cur_theta = np.asarray(res.states.theta)
+            cur_p = np.asarray(res.states.p)
+            cur_ll = res.final_loglik
+        log.log("refine_done", round=rnd, to_ll=float(cur_ll.max()))
+    return (
+        ModelState(theta=cur_theta, p=cur_p),
+        cur_ll,
+        extra,
     )
 
 
