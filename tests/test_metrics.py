@@ -83,3 +83,32 @@ def test_average_precision_ignores_padding():
     expected = float(average_precision(scores[:3], labels[:3]))
     got = float(average_precision(scores, labels, weights))
     assert abs(got - expected) < 1e-6
+
+
+def test_serve_predict_matches_ensemble():
+    """Chained-dispatch serving path == the plain ensemble scorer, incl.
+    a non-block-multiple tail (padding rows must be dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.scoring import (
+        ensemble_predict_interaction,
+        serve_predict_interaction,
+    )
+
+    ds, _, _ = sample_synthetic_dataset(1000, 40, 4, seed=5)
+    keys = jax.random.split(jax.random.key(0), 3)
+    states = jax.vmap(lambda k: init_state(k, 40, 4, 2))(keys)
+    want = np.asarray(
+        ensemble_predict_interaction(states, jnp.asarray(ds.triplets))
+    )
+    got = serve_predict_interaction(states, ds.triplets, block_rows=256)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    # single-state (non-ensemble) form
+    st1 = init_state(jax.random.key(1), 40, 4, 2)
+    got1 = serve_predict_interaction(st1, ds.triplets, block_rows=300)
+    assert got1.shape == (1000,)

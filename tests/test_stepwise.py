@@ -63,8 +63,9 @@ def test_epoch_step_invariants():
 
     lls = []
     batches = _batches(ds, mesh, n_mb, mb)
+    w_total = replicate(mesh, jnp.asarray(np.float32(ds.weights.sum())))
     for _ in range(5):
-        states, ema, ll, t = step(states, ema, t, batches, deg)
+        states, ema, ll, t = step(states, ema, t, batches, deg, w_total)
         lls.append(np.asarray(ll))
         theta = np.asarray(states.theta)
         p = np.asarray(states.p)

@@ -63,6 +63,75 @@ def test_tp_step_matches_replicated(model, data):
     )
 
 
+def test_tp_through_trainer_matches_replicated_large_k():
+    """`fit` with mesh.model=2 (TP x EP x DP mesh) == replicated fit at
+    large K — the regime TP exists for (VERDICT round 1 item 5)."""
+    from trigenicinteractionpredictor_tpu.config import (
+        Config,
+        EngineConfig,
+        MeshConfig,
+        TrainConfig,
+    )
+    from trigenicinteractionpredictor_tpu.train.trainer import fit
+
+    k = 48  # >= SERIAL_RESTART_K so the TP path also exercises lax.map
+    ds, _, _ = sample_synthetic_dataset(512, 30, 6, n_ratings=2, seed=9)
+    tcfg = TrainConfig(k=k, sweeps=4, samples=2, likelihood_freq=2, seed=1)
+    cfg_tp = Config(
+        train=tcfg,
+        mesh=MeshConfig(data=2, ensemble=2, model=2),
+        engine=EngineConfig(backend="jnp"),
+    )
+    cfg_rep = Config(
+        train=tcfg,
+        mesh=MeshConfig(data=4, ensemble=2),
+        engine=EngineConfig(backend="jnp"),
+    )
+    r_tp = fit(cfg_tp, ds)
+    r_rep = fit(cfg_rep, ds)
+    np.testing.assert_allclose(
+        r_tp.final_loglik, r_rep.final_loglik, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp.states.theta),
+        np.asarray(r_rep.states.theta),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp.states.p), np.asarray(r_rep.states.p), atol=2e-5
+    )
+
+
+def test_tp_anneal_matches_replicated_anneal():
+    """The DAEM beta schedule must commute with the l-axis sharding."""
+    from trigenicinteractionpredictor_tpu.config import (
+        Config,
+        EngineConfig,
+        MeshConfig,
+        TrainConfig,
+    )
+    from trigenicinteractionpredictor_tpu.train.trainer import fit
+
+    ds, _, _ = sample_synthetic_dataset(512, 24, 4, n_ratings=2, seed=3)
+    tcfg = TrainConfig(
+        k=8, sweeps=6, samples=2, likelihood_freq=3, seed=0,
+        anneal_beta0=0.4, anneal_sweeps=4,
+    )
+    r_tp = fit(
+        Config(train=tcfg, mesh=MeshConfig(data=2, model=2),
+               engine=EngineConfig(backend="jnp")),
+        ds,
+    )
+    r_rep = fit(
+        Config(train=tcfg, mesh=MeshConfig(data=4),
+               engine=EngineConfig(backend="jnp")),
+        ds,
+    )
+    np.testing.assert_allclose(
+        r_tp.final_loglik, r_rep.final_loglik, rtol=1e-5
+    )
+
+
 def test_tp_multi_sweep_monotone_and_simplex():
     k = 8
     ds, batch = _setup(n=512, g=20, k=k, seed=7)

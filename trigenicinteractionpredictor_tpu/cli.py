@@ -31,6 +31,9 @@ def _load_dataset(path: str, cfg):
     from trigenicinteractionpredictor_tpu.data.kuzmin import load_kuzmin_tsv
     from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
 
+    if os.path.isdir(path):
+        # save_dir() layout: memory-mapped for beyond-HBM streaming.
+        return TripletDataset.load_dir(path, mmap=True)
     if path.endswith(".npz"):
         return TripletDataset.load_npz(path)
     return load_kuzmin_tsv(path, cfg.data)
@@ -47,6 +50,11 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("-o", "--out", default=None, help="output directory")
     sub.add_argument("--mesh-data", type=int, default=None, help="data-axis size (default: all devices)")
     sub.add_argument("--mesh-ensemble", type=int, default=1)
+    sub.add_argument(
+        "--mesh-model", type=int, default=1,
+        help="tensor-parallel shards of the K^3 group tensor p (large-K "
+        "regime; K must divide by this)",
+    )
     sub.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     sub.add_argument("--checkpoint-every", type=int, default=0)
     sub.add_argument("--test-fraction", type=float, default=0.2)
@@ -74,6 +82,12 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument(
         "--kappa", type=float, default=0.6,
         help="stepwise EM statistics decay exponent, in (0.5, 1]",
+    )
+    sub.add_argument(
+        "--stream-groups", type=int, default=0,
+        help="stepwise streaming: minibatches per device dispatch (0 = "
+        "whole epoch at once); keeps only one group in HBM for datasets "
+        "bigger than device memory",
     )
     sub.add_argument(
         "--anneal-beta0", type=float, default=1.0,
@@ -118,7 +132,12 @@ def _make_config(args, n_folds: int = 1):
 
     n_dev = len(jax.devices())
     ens = args.mesh_ensemble
-    data = args.mesh_data if args.mesh_data is not None else max(n_dev // ens, 1)
+    model = getattr(args, "mesh_model", 1)
+    data = (
+        args.mesh_data
+        if args.mesh_data is not None
+        else max(n_dev // (ens * model), 1)
+    )
     return Config(
         data=DataConfig(
             path=args.file,
@@ -138,6 +157,7 @@ def _make_config(args, n_folds: int = 1):
             debug_nans=getattr(args, "debug_nans", False),
             minibatch=getattr(args, "minibatch", 0),
             stepwise_kappa=getattr(args, "kappa", 0.6),
+            stream_groups=getattr(args, "stream_groups", 0),
             anneal_beta0=getattr(args, "anneal_beta0", 1.0),
             anneal_sweeps=getattr(args, "anneal_sweeps", 0),
             refine_rounds=getattr(args, "refine_rounds", 0),
@@ -148,7 +168,7 @@ def _make_config(args, n_folds: int = 1):
         split=SplitConfig(
             test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed
         ),
-        mesh=MeshConfig(data=data, ensemble=ens),
+        mesh=MeshConfig(data=data, ensemble=ens, model=model),
         engine=EngineConfig(backend=args.backend),
         out_dir=args.out or "runs/run",
     )
@@ -214,6 +234,13 @@ def _run_grid(args, k_grid: List[int], n_folds: int) -> int:
         fh.write(cfg.to_json())
     ds = _load_dataset(args.file, cfg)
     run_units(cfg, ds, k_grid=k_grid)
+    if jax.process_count() > 1:
+        # The merge below reads every process's DONE markers — barrier so
+        # host 0 does not merge a partial grid (units finish at different
+        # times across hosts).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("units_done")
     if jax.process_index() == 0:
         report = merge_report(cfg.out_dir)
         print(json.dumps(report["summary"]))
@@ -230,31 +257,46 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_predict(args) -> int:
-    import jax.numpy as jnp
+    import time
 
     from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
     from trigenicinteractionpredictor_tpu.ops.scoring import (
-        ensemble_predict_interaction,
+        serve_predict_interaction,
     )
     from trigenicinteractionpredictor_tpu.train.checkpoint import load_checkpoint
 
     cfg = _make_config(args)
     ds = _load_dataset(args.file, cfg)
     ck = load_checkpoint(args.checkpoint)
-    states = ModelState(
-        theta=jnp.asarray(ck["states"].theta), p=jnp.asarray(ck["states"].p)
-    )
-    scores = np.asarray(
-        ensemble_predict_interaction(states, jnp.asarray(ds.triplets))
-    )
+    states = ModelState(theta=ck["states"].theta, p=ck["states"].p)
+    t0 = time.perf_counter()
+    # Chained-dispatch serving path: one compiled block shape, no per-block
+    # sync (the relay round-trip costs ~10x the compute per block).
+    scores = serve_predict_interaction(states, ds.triplets)
+    score_wall = time.perf_counter() - t0
     out = args.out or "predictions.tsv"
     names = ds.gene_names or [str(i) for i in range(ds.n_genes)]
     cols = ["gene_a", "gene_b", "gene_c"][: ds.arity]
+    name_arr = np.asarray(names, dtype=object)
+    gene_cols = name_arr[ds.triplets]
     with open(out, "w") as fh:
         fh.write("\t".join(cols) + "\tp_interaction\n")
-        for genes, s in zip(ds.triplets, scores):
-            fh.write("\t".join(names[g] for g in genes) + f"\t{s:.6f}\n")
-    print(json.dumps({"n": len(scores), "out": out}))
+        fh.write(
+            "\n".join(
+                "\t".join(row) + f"\t{s:.6f}"
+                for row, s in zip(gene_cols, scores)
+            )
+        )
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "n": len(scores),
+                "out": out,
+                "rows_per_sec": round(len(scores) / max(score_wall, 1e-9), 1),
+            }
+        )
+    )
     return 0
 
 
@@ -322,6 +364,30 @@ def cmd_synth(args) -> int:
             {"out": args.out, "n": ds.n_rows, "genes": ds.n_genes, "k": args.k}
         )
     )
+    return 0
+
+
+def cmd_verify_parity(args) -> int:
+    from trigenicinteractionpredictor_tpu.parity import run_verify_parity
+
+    cfg = _make_config(args)
+    report = run_verify_parity(
+        args.file, cfg, cfg.out_dir, do_fit=not args.no_fit
+    )
+    summary = {
+        "reference_files": report["reference_mount"]["n_files"],
+        "out": os.path.join(cfg.out_dir, "verify_parity.json"),
+        **{
+            k: v["rows"]
+            for k, v in report["loader_fingerprint"]["modes"].items()
+        },
+    }
+    if "artifact" in report:
+        summary["heldout_auc"] = report["artifact"]["converged"]["auc"]
+        summary["train_ll_best"] = report["artifact"]["converged"][
+            "train_loglik_best"
+        ]
+    print(json.dumps(summary))
     return 0
 
 
@@ -394,6 +460,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_sy.add_argument("--seed", type=int, default=0)
     p_sy.add_argument("--ground-truth", default=None, help=".npz for (theta*, p*)")
     p_sy.set_defaults(fn=cmd_synth)
+
+    p_vp = subs.add_parser(
+        "verify-parity",
+        help="parity-readiness gate: reference-mount status, loader "
+        "fingerprint, and a reference-comparable converged artifact "
+        "(docs/PARITY.md)",
+    )
+    _base_parser(p_vp)
+    p_vp.add_argument(
+        "--no-fit", action="store_true",
+        help="fingerprint only; skip the training/artifact stage",
+    )
+    p_vp.set_defaults(fn=cmd_verify_parity)
 
     p_be = subs.add_parser("bench", help="run the repo benchmark")
     p_be.add_argument("-n", type=int, default=131072, help="triplets")

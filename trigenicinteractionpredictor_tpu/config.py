@@ -78,6 +78,12 @@ class TrainConfig:
     # rho_t = (stepwise_t0 + t)^(-stepwise_kappa), kappa in (0.5, 1].
     stepwise_kappa: float = 0.6
     stepwise_t0: float = 2.0
+    # Beyond-HBM streaming (stepwise mode only): dispatch each epoch as
+    # groups of this many minibatches, so device memory holds one group
+    # (stream_groups * minibatch rows) instead of the whole epoch.  Pair
+    # with TripletDataset.load_dir(mmap=True) so the host side streams off
+    # disk too.  0 = whole epoch per dispatch (fastest when data fits HBM).
+    stream_groups: int = 0
     # --- quality knobs beyond the reference's EM (all default OFF so the
     # default configuration reproduces reference parity; VERDICT round 1
     # item 1 / BASELINE.json:5 "match or beat") -------------------------
@@ -122,10 +128,15 @@ class MeshConfig:
 
     data: int = 1                    # number of shards along the triplet axis
     ensemble: int = 1                # number of shards along the restart axis
+    # Tensor parallelism over p's l axis — the large-K regime (K >~ 50,
+    # where K^3 objects dominate memory).  model > 1 switches the trainer
+    # to the TP step (parallel/tensor_parallel.py); the Pallas kernels are
+    # bypassed there (p is sharded) in favor of the jnp path.
+    model: int = 1
 
     @property
     def n_devices(self) -> int:
-        return self.data * self.ensemble
+        return self.data * self.ensemble * self.model
 
 
 @dataclass(frozen=True)

@@ -171,6 +171,47 @@ class TripletDataset:
             gene_names=np.array(self.gene_names or [], dtype=object),
         )
 
+    def save_dir(self, path: str) -> None:
+        """Save as raw .npy files — the memory-mappable on-disk layout for
+        the beyond-HBM streaming loader (load_dir(mmap=True)).  Unlike the
+        zipped .npz container, each array can be np.memmap'd directly, so a
+        dataset larger than device HBM (or even host RAM) streams epoch
+        groups without ever materializing in full."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        np.save(_os.path.join(path, "triplets.npy"), self.triplets)
+        np.save(_os.path.join(path, "ratings.npy"), self.ratings)
+        np.save(_os.path.join(path, "weights.npy"), self.weights)
+        with open(_os.path.join(path, "meta.json"), "w") as fh:
+            _json.dump(
+                {
+                    "n_genes": self.n_genes,
+                    "n_ratings": self.n_ratings,
+                    "gene_names": self.gene_names,
+                },
+                fh,
+            )
+
+    @staticmethod
+    def load_dir(path: str, mmap: bool = True) -> "TripletDataset":
+        """Load a save_dir() layout, memory-mapped read-only by default."""
+        import json as _json
+        import os as _os
+
+        mode = "r" if mmap else None
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+        return TripletDataset(
+            triplets=np.load(_os.path.join(path, "triplets.npy"), mmap_mode=mode),
+            ratings=np.load(_os.path.join(path, "ratings.npy"), mmap_mode=mode),
+            weights=np.load(_os.path.join(path, "weights.npy"), mmap_mode=mode),
+            n_genes=meta["n_genes"],
+            n_ratings=meta["n_ratings"],
+            gene_names=meta["gene_names"],
+        )
+
     @staticmethod
     def load_npz(path: str) -> "TripletDataset":
         with np.load(path, allow_pickle=True) as z:

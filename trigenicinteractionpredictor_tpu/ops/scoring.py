@@ -76,3 +76,52 @@ def ensemble_predict_interaction(
         lambda st: predict_interaction(st, triplets, interact_rating), states
     )
     return jnp.mean(scores, axis=0)
+
+
+def serve_predict_interaction(
+    states: ModelState,
+    triplets,
+    interact_rating: int = 1,
+    block_rows: int = 131072,
+):
+    """Chained-dispatch ensemble scoring for large inputs (numpy in/out).
+
+    Serving through the axon relay is dispatch/sync-bound, not compute-
+    bound: one synchronized call pays ~25 ms of relay round-trip while the
+    compute itself is ~3 ms per 131k rows (BASELINE.md round 1).  This path
+    jits ONE fixed block shape, dispatches every block back-to-back without
+    synchronizing, and fetches results only after the whole queue is in
+    flight — the trick previously buried in the bench, productized for
+    ``cmd_predict`` (VERDICT round 1 item 7).  The tail block is padded to
+    the block shape so a single executable serves any input length.
+    """
+    import numpy as np
+
+    trips = np.asarray(triplets)
+    n = trips.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.float32)
+    block = min(block_rows, max(n, 1))
+    ensemble = (
+        states.theta.ndim == 3
+    )  # restart-stacked states -> sample-averaged scores
+
+    @jax.jit
+    def score_block(th, p, tr):
+        st = ModelState(theta=th, p=p)
+        if ensemble:
+            return ensemble_predict_interaction(st, tr, interact_rating)
+        return predict_interaction(st, tr, interact_rating)
+
+    th = jnp.asarray(states.theta)
+    p = jnp.asarray(states.p)
+    outs = []
+    for lo in range(0, n, block):
+        chunk = trips[lo : lo + block]
+        if chunk.shape[0] < block:  # pad the tail to the compiled shape
+            pad = np.zeros((block - chunk.shape[0], chunk.shape[1]), chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        outs.append(score_block(th, p, jnp.asarray(chunk)))
+    # One sync for the whole chain: convert after everything is enqueued.
+    flat = np.concatenate([np.asarray(o) for o in outs])
+    return flat[:n]

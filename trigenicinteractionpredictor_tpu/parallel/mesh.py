@@ -25,29 +25,41 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 ENSEMBLE_AXIS = "ensemble"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
     data: Optional[int] = None,
     ensemble: int = 1,
+    model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build an (ensemble, data) mesh over the given (or all) devices.
+    """Build an (ensemble, model, data) mesh over the given (or all) devices.
 
-    ``data=None`` uses every device not consumed by the ensemble axis.
+    ``data=None`` uses every device not consumed by the other axes.  The
+    ``model`` axis shards the K^3 group tensor p for the large-K regime
+    (parallel/tensor_parallel.py); it is 1 — and the axis inert — in the
+    production Kuzmin-scale configuration.  The axis always exists on the
+    mesh so the same jitted step handles both cases.
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
     if data is None:
-        if n % ensemble != 0:
-            raise ValueError(f"{n} devices not divisible by ensemble={ensemble}")
-        data = n // ensemble
-    if ensemble * data > n:
+        if n % (ensemble * model) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by ensemble*model="
+                f"{ensemble * model}"
+            )
+        data = n // (ensemble * model)
+    if ensemble * model * data > n:
         raise ValueError(
-            f"mesh {ensemble}x{data} needs {ensemble * data} devices, have {n}"
+            f"mesh {ensemble}x{model}x{data} needs "
+            f"{ensemble * model * data} devices, have {n}"
         )
-    grid = np.asarray(devs[: ensemble * data]).reshape(ensemble, data)
-    return Mesh(grid, (ENSEMBLE_AXIS, DATA_AXIS))
+    grid = np.asarray(devs[: ensemble * model * data]).reshape(
+        ensemble, model, data
+    )
+    return Mesh(grid, (ENSEMBLE_AXIS, MODEL_AXIS, DATA_AXIS))
 
 
 def single_device_mesh() -> Mesh:

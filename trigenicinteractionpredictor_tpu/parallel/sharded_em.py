@@ -223,7 +223,8 @@ def make_sharded_stepwise_epoch(
 
     Returned step signature::
 
-        states, ema, ll_sum, t = step(states, ema, t, batches, degrees)
+        states, ema, ll_sum, t = step(states, ema, t, batches, degrees,
+                                      w_total)
 
     - ``batches``: Batch with a leading [n_minibatches] axis; rows of each
       minibatch sharded over ``data``.
@@ -232,11 +233,13 @@ def make_sharded_stepwise_epoch(
     - ``t``: f32 scalar update counter (across epochs).
     - ``ll_sum``: sum over the epoch's minibatches of the pre-update
       minibatch log-likelihood, full-data scaled — a monitoring trace.
+    - ``w_total``: replicated f32 scalar — the FULL dataset's weight sum,
+      passed explicitly (not derived from ``batches``) so the streaming
+      loader can dispatch an epoch as several minibatch groups and still
+      scale every group's statistics to full-data equivalents.
     """
 
-    def local_epoch(states, ema, t, batches, degrees):
-        w_total = jax.lax.psum(jnp.sum(batches.weights), DATA_AXIS)
-
+    def local_epoch(states, ema, t, batches, degrees, w_total):
         def body(carry, mb):
             states, ema, t = carry
             stats = _per_restart_stats(stats_fn, states, mb, precision)
@@ -270,6 +273,7 @@ def make_sharded_stepwise_epoch(
             P(ENSEMBLE_AXIS),
             P(),
             P(None, DATA_AXIS),
+            P(),
             P(),
         ),
         out_specs=(

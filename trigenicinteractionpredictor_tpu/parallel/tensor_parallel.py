@@ -39,33 +39,46 @@ from trigenicinteractionpredictor_tpu.ops.em import (
     SweepStats,
     _gather_thetas,
     _scatter_add_rows,
+    map_restarts as _map_restarts,
     normalize_from_stats,
 )
-from trigenicinteractionpredictor_tpu.parallel.mesh import DATA_AXIS
+from trigenicinteractionpredictor_tpu.parallel.mesh import (
+    DATA_AXIS,
+    ENSEMBLE_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+)
 
-MODEL_AXIS = "model"
+
+def make_tp_mesh(
+    model: int, data: int = 1, ensemble: int = 1, devices=None
+) -> Mesh:
+    """An (ensemble, model, data) mesh for the large-K regime.
+
+    Composes with the ensemble axis: restarts shard over ``ensemble``,
+    p's ``l`` axis over ``model``, triplet rows over ``data`` — the three
+    parallelism tiers of this workload on one mesh (SURVEY.md §3.3).
+    """
+    return make_mesh(
+        data=data, ensemble=ensemble, model=model, devices=devices
+    )
 
 
-def make_tp_mesh(model: int, data: int = 1, devices=None) -> Mesh:
-    """A (model, data) mesh for the large-K regime."""
-    import numpy as np
-
-    devs = list(devices if devices is not None else jax.devices())
-    if model * data > len(devs):
-        raise ValueError(
-            f"mesh {model}x{data} needs {model * data} devices, have {len(devs)}"
-        )
-    grid = np.asarray(devs[: model * data]).reshape(model, data)
-    return Mesh(grid, (MODEL_AXIS, DATA_AXIS))
+# Sharding specs for restart-stacked TP state: theta [S, G, K] shards its
+# restart axis over ``ensemble`` and replicates over model/data; p
+# [S, K, K, K, R] additionally shards its l axis (axis 2) over ``model``.
+TP_STATE_SPEC = ModelState(
+    theta=P(ENSEMBLE_AXIS),
+    p=P(ENSEMBLE_AXIS, None, MODEL_AXIS, None, None),
+)
 
 
 def shard_tp_state(mesh: Mesh, states: ModelState) -> ModelState:
-    """Place restart-stacked states: theta replicated, p sharded on its
-    ``l`` axis (axis 2 including the leading restart axis)."""
-    theta = jax.device_put(states.theta, NamedSharding(mesh, P()))
-    p = jax.device_put(
-        states.p, NamedSharding(mesh, P(None, None, MODEL_AXIS, None, None))
+    """Place restart-stacked states per TP_STATE_SPEC."""
+    theta = jax.device_put(
+        states.theta, NamedSharding(mesh, TP_STATE_SPEC.theta)
     )
+    p = jax.device_put(states.p, NamedSharding(mesh, TP_STATE_SPEC.p))
     return ModelState(theta=theta, p=p)
 
 
@@ -142,46 +155,139 @@ def _tp_local_stats(
     return theta_hat, p_hat_blk, loglik
 
 
+def _tp_local_sweep(states, batch, degrees, precision):
+    """One TP EM sweep on local shards (inside shard_map)."""
+    theta_hat, p_hat_blk, ll = _map_restarts(
+        lambda st: _tp_local_stats(st.theta, st.p, batch, precision), states
+    )
+    theta_hat, p_hat_blk, ll = jax.lax.psum(
+        (theta_hat, p_hat_blk, ll), DATA_AXIS
+    )
+    new_states = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
+        states,
+        SweepStats(theta_hat=theta_hat, p_hat=p_hat_blk, loglik=ll),
+        degrees,
+    )
+    return new_states, ll
+
+
 def make_tp_train_step(
     mesh: Mesh,
     precision=jax.lax.Precision.HIGHEST,
 ) -> Callable[[ModelState, Batch, jax.Array], Tuple[ModelState, jax.Array]]:
-    """Jitted EM step with p tensor-parallel over ``model`` and the batch
-    data-parallel over ``data``.
-
-    States carry a leading restart axis [S, ...] (vmapped locally — combine
-    with the ensemble axis by fanning restarts across TP groups at the
-    driver level if both are needed).  Returns per-restart loglik [S].
+    """Jitted EM step with p tensor-parallel over ``model``, the batch
+    data-parallel over ``data``, and the restart axis sharded over
+    ``ensemble`` (size-1 axes are inert, so the same step serves pure-TP
+    and TP x EP meshes).  Returns per-restart loglik [S].
     """
 
     def local_step(states: ModelState, batch: Batch, degrees: jax.Array):
-        theta_hat, p_hat_blk, ll = jax.vmap(
-            lambda st: _tp_local_stats(st.theta, st.p, batch, precision)
-        )(states)
-        theta_hat, p_hat_blk, ll = jax.lax.psum(
-            (theta_hat, p_hat_blk, ll), DATA_AXIS
-        )
-        new_states = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
-            states,
-            SweepStats(theta_hat=theta_hat, p_hat=p_hat_blk, loglik=ll),
-            degrees,
-        )
-        return new_states, ll
+        return _tp_local_sweep(states, batch, degrees, precision)
 
     shmapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(
-            ModelState(
-                theta=P(), p=P(None, None, MODEL_AXIS, None, None)
-            ),
-            P(DATA_AXIS),
-            P(),
-        ),
-        out_specs=(
-            ModelState(theta=P(), p=P(None, None, MODEL_AXIS, None, None)),
-            P(),
-        ),
+        in_specs=(TP_STATE_SPEC, P(DATA_AXIS), P()),
+        out_specs=(TP_STATE_SPEC, P(ENSEMBLE_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
+def make_tp_multi_step(
+    mesh: Mesh,
+    n_inner: int,
+    precision=jax.lax.Precision.HIGHEST,
+    annealed: bool = False,
+) -> Callable:
+    """``n_inner`` chained TP sweeps per dispatch under lax.scan — the TP
+    counterpart of sharded_em.make_sharded_multi_step, with the same
+    optional DAEM-annealing betas argument (elementwise parameter powers
+    commute with the l-axis sharding, so the annealed sweep is the same
+    local computation on powered shards)."""
+
+    def local_multi(states, batch, degrees, betas):
+        def body(carry, beta):
+            powered = ModelState(theta=carry.theta**beta, p=carry.p**beta)
+            theta_hat, p_hat_blk, ll = _map_restarts(
+                lambda st: _tp_local_stats(st.theta, st.p, batch, precision),
+                powered,
+            )
+            theta_hat, p_hat_blk, ll = jax.lax.psum(
+                (theta_hat, p_hat_blk, ll), DATA_AXIS
+            )
+            new = jax.vmap(normalize_from_stats, in_axes=(0, 0, None))(
+                carry,
+                SweepStats(theta_hat=theta_hat, p_hat=p_hat_blk, loglik=ll),
+                degrees,
+            )
+            return new, ll
+
+        def body_plain(carry, _):
+            return _tp_local_sweep(carry, batch, degrees, precision)
+
+        if annealed:
+            states, ll_hist = jax.lax.scan(body, states, betas)
+        else:
+            states, ll_hist = jax.lax.scan(body_plain, states, length=n_inner)
+        return states, ll_hist
+
+    shmapped = jax.shard_map(
+        local_multi,
+        mesh=mesh,
+        in_specs=(TP_STATE_SPEC, P(DATA_AXIS), P(), P()),
+        out_specs=(TP_STATE_SPEC, P(None, ENSEMBLE_AXIS)),
+        check_vma=False,
+    )
+    jitted = jax.jit(shmapped)
+    if annealed:
+        return jitted
+
+    def call(states, batch, degrees):
+        ones = jax.device_put(
+            jnp.ones((n_inner,), jnp.float32), NamedSharding(mesh, P())
+        )
+        return jitted(states, batch, degrees, ones)
+
+    return call
+
+
+def _tp_local_ll(theta, p_blk, batch, precision):
+    """Per-restart log-likelihood with p sharded on its l axis."""
+    G, K = theta.shape
+    Kb = p_blk.shape[1]
+    R = p_blk.shape[-1]
+    B = batch.triplets.shape[0]
+    w = batch.weights.astype(theta.dtype)
+    th1, th2, th3 = _gather_thetas(theta, batch.triplets)
+    rank = jax.lax.axis_index(MODEL_AXIS)
+    th2_blk = jax.lax.dynamic_slice_in_dim(th2, rank * Kb, Kb, axis=1)
+    p_m = jnp.transpose(p_blk, (2, 0, 1, 3)).reshape(K, K * Kb * R)
+    T_all = jnp.matmul(th3, p_m, precision=precision).reshape(B, K, Kb, R)
+    T = jnp.take_along_axis(
+        T_all, batch.ratings[:, None, None, None], axis=3
+    )[..., 0]
+    D_part = jnp.einsum("bk,bkl,bl->b", th1, T, th2_blk, precision=precision)
+    D = jax.lax.psum(D_part, MODEL_AXIS)
+    return jnp.sum(w * jnp.log(D + _EPS))
+
+
+def make_tp_likelihood(
+    mesh: Mesh, precision=jax.lax.Precision.HIGHEST
+) -> Callable[[ModelState, Batch], jax.Array]:
+    """Jitted per-restart log-likelihood on the TP mesh: f32[S]."""
+
+    def local_ll(states: ModelState, batch: Batch):
+        ll = _map_restarts(
+            lambda st: _tp_local_ll(st.theta, st.p, batch, precision), states
+        )
+        return jax.lax.psum(ll, DATA_AXIS)
+
+    shmapped = jax.shard_map(
+        local_ll,
+        mesh=mesh,
+        in_specs=(TP_STATE_SPEC, P(DATA_AXIS)),
+        out_specs=P(ENSEMBLE_AXIS),
         check_vma=False,
     )
     return jax.jit(shmapped)

@@ -80,6 +80,17 @@ def run_units(
     pc = jax.process_count() if process_count is None else process_count
     k_grid = list(k_grid or [cfg.train.k])
 
+    # Units are embarrassingly parallel ACROSS processes: each unit's fit
+    # must therefore run on this process's local devices only.  A global
+    # mesh here would issue cross-process collectives while different
+    # processes run different units — a deadlock.  (Callers that want one
+    # unit spread across all hosts pass an explicit mesh instead.)
+    if mesh is None and jax.process_count() > 1:
+        from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
+
+        local = jax.local_devices()
+        mesh = make_mesh(data=len(local), ensemble=1, devices=local)
+
     os.makedirs(cfg.out_dir, exist_ok=True)
     units_dir = os.path.join(cfg.out_dir, "units")
     os.makedirs(units_dir, exist_ok=True)

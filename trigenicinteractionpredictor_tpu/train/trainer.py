@@ -111,12 +111,35 @@ def fit(
 
     check_em_integrity(arity=train_ds.arity)
     if mesh is None:
-        mesh = make_mesh(data=cfg.mesh.data, ensemble=cfg.mesh.ensemble)
+        mesh = make_mesh(
+            data=cfg.mesh.data,
+            ensemble=cfg.mesh.ensemble,
+            model=cfg.mesh.model,
+        )
     data_size = mesh.shape["data"]
     ens_size = mesh.shape["ensemble"]
     S = tcfg.samples
     if S % ens_size != 0:
         raise ValueError(f"samples={S} must divide by ensemble axis {ens_size}")
+
+    # Tensor parallelism (large-K regime): p's l axis shards over ``model``
+    # and the TP step replaces the replicated-parameter step.  The Pallas
+    # kernels assume a replicated p, so they are bypassed here.
+    use_tp = "model" in mesh.shape and mesh.shape["model"] > 1
+    if use_tp:
+        if train_ds.arity != 3:
+            raise ValueError("tensor parallelism is trigenic-only (p is K^3)")
+        if tcfg.minibatch > 0:
+            raise ValueError(
+                "stepwise EM does not compose with tensor parallelism; "
+                "use mesh.model=1 for minibatch mode"
+            )
+        if tcfg.k % mesh.shape["model"] != 0:
+            raise ValueError(
+                f"k={tcfg.k} must divide by the model axis "
+                f"{mesh.shape['model']}"
+            )
+        log.log("backend", kernel="jnp-tp", model_shards=mesh.shape["model"])
 
     # Resolve the compute backend (jnp vs Pallas fused kernel); the digenic
     # (arity-2) family always takes the jnp path.  ``kernel_tile`` is only
@@ -125,7 +148,9 @@ def fit(
     # silently inflate stepwise minibatch sizes (ADVICE round 1).
     arity = train_ds.arity
     kernel_tile = 0
-    if stats_fn is None:
+    if use_tp:
+        stats_fn = None
+    elif stats_fn is None:
         from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
 
         stats_fn = resolve_stats_fn(
@@ -285,12 +310,24 @@ def fit(
             "anneal", beta0=tcfg.anneal_beta0, ramp_sweeps=anneal_end,
         )
 
+    if use_tp:
+        from trigenicinteractionpredictor_tpu.parallel.tensor_parallel import (
+            make_tp_multi_step,
+        )
+
+        def _make_multi(n: int, annealed: bool):
+            return make_tp_multi_step(mesh, n, annealed=annealed)
+    else:
+
+        def _make_multi(n: int, annealed: bool):
+            return make_sharded_multi_step(
+                mesh, n, annealed=annealed, **step_kwargs
+            )
+
     def step_chunk(n: int, at_sweep: int, states, batch_sh, deg_sh):
         annealed = beta_sched is not None and at_sweep < anneal_end
         if (n, annealed) not in multi_steps:
-            multi_steps[(n, annealed)] = make_sharded_multi_step(
-                mesh, n, annealed=annealed, **step_kwargs
-            )
+            multi_steps[(n, annealed)] = _make_multi(n, annealed)
         step = multi_steps[(n, annealed)]
         if annealed:
             betas = np.ones(n, np.float32)
@@ -300,9 +337,19 @@ def fit(
             return step(states, batch_sh, deg_sh, replicate(mesh, jnp.asarray(betas)))
         return step(states, batch_sh, deg_sh)
 
-    ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
+    if use_tp:
+        from trigenicinteractionpredictor_tpu.parallel.tensor_parallel import (
+            make_tp_likelihood,
+            shard_tp_state,
+        )
 
-    states = shard_ensemble(mesh, states)
+        ll_fn = make_tp_likelihood(mesh)
+        states = shard_tp_state(mesh, states)
+    else:
+        ll_fn = make_sharded_likelihood(
+            mesh, row_chunk=cfg.engine.jnp_row_chunk
+        )
+        states = shard_ensemble(mesh, states)
     batch_sh = shard_batch(mesh, batch)
     deg_sh = replicate(mesh, degrees)
 
@@ -554,13 +601,27 @@ def _run_stepwise(
             f"minibatch={tcfg.minibatch} (padded to {mb}) leaves {n_mb} "
             f"minibatches of {ds.n_rows} rows — use classic EM instead"
         )
+    # Beyond-HBM streaming: dispatch the epoch as groups of
+    # ``stream_groups`` minibatches, so the device holds one group's rows
+    # (group * mb) instead of the full dataset.  The EMA update sequence is
+    # IDENTICAL to the monolithic epoch because rho_t depends only on the
+    # carried counter t and the statistics scale on the explicit full-data
+    # w_total (tested in tests/test_streaming.py).  The host side reads
+    # through TripletDataset.load_dir(mmap=True), so the dataset need not
+    # fit host RAM either.
+    group = tcfg.stream_groups if tcfg.stream_groups > 0 else n_mb
+    while n_mb % group:
+        group -= 1  # largest divisor <= requested: keeps epochs uniform
+    n_dispatch = n_mb // group
     log.log("stepwise", minibatch=mb, n_minibatches=n_mb,
-            kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0)
+            kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
+            stream_groups=group if n_dispatch > 1 else 0)
     degrees = jnp.asarray(ds.degrees())
     arity = ds.arity
+    w_total_np = np.float32(np.sum(ds.weights, dtype=np.float64))
 
     epoch_step = make_sharded_stepwise_epoch(
-        mesh, n_mb, kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
+        mesh, group, kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
         **step_kwargs,
     )
     ll_fn = make_sharded_likelihood(mesh, row_chunk=cfg.engine.jnp_row_chunk)
@@ -589,23 +650,38 @@ def _run_stepwise(
     t0_wall = time.perf_counter()
     epoch = start_epoch
     stop = False
+    w_total_sh = replicate(mesh, jnp.asarray(w_total_np))
     while epoch < tcfg.sweeps and not stop:
         # (seed, epoch)-derived shuffle — replayable across resume.
         rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (epoch + 1))
         perm = rng.permutation(ds.n_rows)
-        batches = Batch(
-            triplets=jax.device_put(
-                jnp.asarray(ds.triplets[perm].reshape(n_mb, mb, arity)),
-                mb_sharding,
-            ),
-            ratings=jax.device_put(
-                jnp.asarray(ds.ratings[perm].reshape(n_mb, mb)), mb_sharding
-            ),
-            weights=jax.device_put(
-                jnp.asarray(ds.weights[perm].reshape(n_mb, mb)), mb_sharding
-            ),
-        )
-        states, ema, ll, t = epoch_step(states, ema, t, batches, deg_sh)
+        ll_groups = []
+        for d in range(n_dispatch):
+            # One group of minibatches on device at a time; the fancy
+            # index below is the only host materialization (group*mb rows),
+            # reading through the (possibly memory-mapped) dataset arrays.
+            gperm = perm[d * group * mb : (d + 1) * group * mb]
+            batches = Batch(
+                triplets=jax.device_put(
+                    jnp.asarray(
+                        ds.triplets[gperm].reshape(group, mb, arity)
+                    ),
+                    mb_sharding,
+                ),
+                ratings=jax.device_put(
+                    jnp.asarray(ds.ratings[gperm].reshape(group, mb)),
+                    mb_sharding,
+                ),
+                weights=jax.device_put(
+                    jnp.asarray(ds.weights[gperm].reshape(group, mb)),
+                    mb_sharding,
+                ),
+            )
+            states, ema, ll_g, t = epoch_step(
+                states, ema, t, batches, deg_sh, w_total_sh
+            )
+            ll_groups.append(ll_g)
+        ll = jnp.mean(jnp.stack(ll_groups), axis=0)
         epoch += 1
 
         def _stepwise_extra():
