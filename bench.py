@@ -31,6 +31,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "baselines"))
@@ -109,6 +111,25 @@ def measure_engine(args) -> float:
     def run(n_samples: int, reps: int = 3) -> float:
         stats_fn = resolve_stats_fn(args.backend, G, K, n_samples=n_samples)
         log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
+        bench_batch = batch
+        if getattr(stats_fn, "needs_plan", False):
+            # Large-G path: attach the host-built sorted-block scatter plan,
+            # same as the trainer (train/trainer.py).  N is tile-aligned
+            # here, so the plan maps the batch rows 1:1.
+            from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+                make_scatter_plan,
+            )
+
+            plan = make_scatter_plan(
+                np.asarray(ds.triplets), G, n_shards=1,
+                wb=stats_fn.wb, tile=stats_fn.tile_b,
+            )
+            bench_batch = batch._replace(
+                scatter_perm=jnp.asarray(plan.perm),
+                scatter_lid=jnp.asarray(plan.lid),
+                scatter_block=jnp.asarray(plan.block),
+            )
+            log(f"S={n_samples} large-G plan: wb={stats_fn.wb} tile={stats_fn.tile_b}")
         step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
         step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
         keys = jax.random.split(jax.random.key(0), n_samples)
@@ -116,7 +137,7 @@ def measure_engine(args) -> float:
             mesh, jax.vmap(lambda k: init_state(k, G, K, R))(keys)
         )
         t0 = time.perf_counter()
-        states, ll_hist = step(states0, batch, degrees)
+        states, ll_hist = step(states0, bench_batch, degrees)
         _ = float(ll_hist[-1, 0])
         log(f"S={n_samples} first step (compile+run): {time.perf_counter() - t0:.1f}s")
 
@@ -129,7 +150,7 @@ def measure_engine(args) -> float:
             states = states0
             t0 = time.perf_counter()
             for _ in range(SWEEPS // chunk):
-                states, ll_hist = step(states, batch, degrees)
+                states, ll_hist = step(states, bench_batch, degrees)
             ll_best = float(jnp.max(ll_hist[-1]))
             best_dt = min(best_dt, time.perf_counter() - t0)
         tps = SWEEPS * N * n_samples / best_dt

@@ -95,3 +95,20 @@ def test_large_k_throughput():
         f"K=50 throughput regressed: {result['value']:.3g} < {floor:.3g}; "
         f"bench stderr:\n{stderr[-1000:]}"
     )
+
+
+def test_large_g_throughput():
+    """G=100k x S=10 (pre-gathered + sorted-block-scatter path, a config
+    the one-hot kernel cannot run at all): >= 0.7x of the recorded 85M
+    updates/s."""
+    result, stderr = _run_bench(
+        ["-g", "100000", "--sweeps", "60"], timeout=1800
+    )
+    assert "large-G plan" in stderr, (
+        f"G=100k did not dispatch to the large-G path:\n{stderr[-1000:]}"
+    )
+    floor = RECORDS["floor_fraction"] * RECORDS["records"]["large_g100k_s10"]
+    assert result["value"] >= floor, (
+        f"G=100k throughput regressed: {result['value']:.3g} < {floor:.3g}; "
+        f"bench stderr:\n{stderr[-1000:]}"
+    )

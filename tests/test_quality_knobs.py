@@ -117,3 +117,61 @@ def test_spectral_init_valid_simplexes():
         train,
     )
     assert np.isfinite(r.final_loglik).all()
+
+
+def test_merge_split_candidate_preserves_invariants():
+    from trigenicinteractionpredictor_tpu.models.proposals import (
+        merge_split_candidate,
+    )
+
+    rng = np.random.default_rng(0)
+    G, K, R = 25, 5, 2
+    theta = rng.dirichlet(np.ones(K), size=G)
+    p = rng.dirichlet(np.ones(R), size=(K, K, K))
+    th2, p2, (j, k, split) = merge_split_candidate(theta, p, rng)
+    assert th2.shape == (G, K) and p2.shape == (K, K, K, R)
+    np.testing.assert_allclose(th2.sum(-1), 1.0, atol=1e-5)   # simplex rows
+    np.testing.assert_allclose(p2.sum(-1), 1.0, atol=1e-5)
+    assert (th2 >= 0).all() and (p2 >= 0).all()
+    assert j != k and split not in (j, k)
+    # the merge column carries the combined mass of its parents
+    np.testing.assert_allclose(
+        th2[:, 0], theta[:, j] + theta[:, k], atol=1e-6
+    )
+    # the split children partition the parent column per gene
+    np.testing.assert_allclose(
+        th2[:, 1] + th2[:, 2], theta[:, split], atol=1e-6
+    )
+    # digenic family: p[K, K, R] goes through the same axis map
+    p_di = rng.dirichlet(np.ones(R), size=(K, K))
+    _, p2_di, _ = merge_split_candidate(theta, p_di, rng)
+    assert p2_di.shape == (K, K, R)
+    np.testing.assert_allclose(p2_di.sum(-1), 1.0, atol=1e-5)
+
+
+def test_smem_never_loses_likelihood():
+    train = _ds(seed=9, alpha=0.1)
+    base = dict(k=3, sweeps=40, samples=3, likelihood_freq=10, seed=2)
+    plain = fit(Config(train=TrainConfig(**base)), train)
+    smem = fit(
+        Config(train=TrainConfig(**base, smem_rounds=2, smem_sweeps=10)),
+        train,
+    )
+    assert smem.final_loglik.max() >= plain.final_loglik.max() - 1e-3
+    assert smem.sweeps_run == 40 + 2 * 10
+
+
+def test_smem_composes_with_refine():
+    train = _ds(seed=11)
+    r = fit(
+        Config(
+            train=TrainConfig(
+                k=3, sweeps=20, samples=2, likelihood_freq=10, seed=1,
+                smem_rounds=1, smem_sweeps=5,
+                refine_rounds=1, refine_sweeps=5,
+            )
+        ),
+        train,
+    )
+    assert r.sweeps_run == 20 + 5 + 5
+    assert np.isfinite(r.final_loglik).all()

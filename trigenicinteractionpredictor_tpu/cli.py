@@ -112,6 +112,16 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         help="refinement perturbation strength toward Dirichlet noise",
     )
     sub.add_argument(
+        "--smem-rounds", type=int, default=0,
+        help="split-merge EM rounds after the main fit: merge+split "
+        "topology jumps from the best restart, accepted only on "
+        "likelihood improvement (0 = off)",
+    )
+    sub.add_argument(
+        "--smem-sweeps", type=int, default=0,
+        help="extra sweeps per split-merge round (0 = i/4)",
+    )
+    sub.add_argument(
         "--init", choices=["random", "spectral"], default="random",
         help="restart initialization: reference-style random simplexes or "
         "informed spectral init from pairwise co-interaction marginals",
@@ -163,6 +173,8 @@ def _make_config(args, n_folds: int = 1):
             refine_rounds=getattr(args, "refine_rounds", 0),
             refine_sweeps=getattr(args, "refine_sweeps", 0),
             refine_eps=getattr(args, "refine_eps", 0.25),
+            smem_rounds=getattr(args, "smem_rounds", 0),
+            smem_sweeps=getattr(args, "smem_sweeps", 0),
             init_method=getattr(args, "init", "random"),
         ),
         split=SplitConfig(
@@ -484,7 +496,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_be.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    First compiles through the axon remote-compile relay cost 1.5-516 s
+    (BASELINE.md); a warm cache makes repeat CLI invocations start in
+    seconds.  Opt out / relocate with TRIGENIC_TPU_COMPILE_CACHE (empty
+    string disables).
+    """
+    cache = os.environ.get(
+        "TRIGENIC_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "trigenicinteractionpredictor_tpu"
+        ),
+    )
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

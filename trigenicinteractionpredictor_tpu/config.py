@@ -102,6 +102,15 @@ class TrainConfig:
     refine_rounds: int = 0
     refine_sweeps: int = 0           # extra sweeps per round; 0 = sweeps/4
     refine_eps: float = 0.25         # perturbation mix toward Dirichlet noise
+    # Split-merge EM rounds (models/proposals.py): after the main fit,
+    # re-seed the restart ensemble with merge+split topology jumps from the
+    # best state and resweep, accepting only likelihood improvements.
+    # Restart 0 keeps the unperturbed best, so likelihood never drops.
+    # Runs before refine_rounds (topology jumps first, local polish after).
+    # 0 = off.  Measured: best train likelihood of any cold-start method
+    # tested (BASELINE.md "EM quality study").
+    smem_rounds: int = 0
+    smem_sweeps: int = 0             # extra sweeps per round; 0 = sweeps/4
     # Initialization: 'random' (reference-style Dirichlet) or 'spectral'
     # (informed init from the pairwise co-interaction spectrum; restarts
     # differ by Dirichlet noise mixed in at increasing strength).
