@@ -59,6 +59,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("-s", "--samples", type=int, default=S)
     ap.add_argument("--sweeps", type=int, default=SWEEPS)
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    ap.add_argument(
+        "--warm-only", action="store_true",
+        help="compile every step (seeding the persistent cache) and exit "
+        "without timing — lets callers split compile latency from the "
+        "throughput measurement (the axon relay's first compile varies "
+        "1.5-516s with load, which is not a perf regression)",
+    )
     return ap.parse_args(argv)
 
 
@@ -73,7 +80,16 @@ def measure_engine(args) -> float:
 
     # Persistent compile cache: first-compile latency through the axon
     # remote-compile relay is wildly variable (1.5 s to 516 s observed).
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    # The cache lives OUTSIDE the repo by default (override with
+    # TIP_JAX_CACHE_DIR) so fresh checkouts / CI workspaces on the same
+    # host reuse it instead of paying every cold compile again.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "TIP_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/trigenic_tpu_jax"),
+        ),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from trigenicinteractionpredictor_tpu.data.synthetic import (
@@ -94,13 +110,10 @@ def measure_engine(args) -> float:
     log(f"device: {dev.device_kind} ({dev.platform})")
     ds, _, _ = sample_synthetic_dataset(N, G, K, n_ratings=R, seed=0)
     mesh = single_device_mesh()
-    batch = shard_batch(
-        mesh,
-        Batch(
-            triplets=jnp.asarray(ds.triplets),
-            ratings=jnp.asarray(ds.ratings),
-            weights=jnp.asarray(ds.weights),
-        ),
+    raw_batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
     )
     degrees = replicate(mesh, jnp.asarray(ds.degrees()))
 
@@ -111,25 +124,29 @@ def measure_engine(args) -> float:
     def run(n_samples: int, reps: int = 3) -> float:
         stats_fn = resolve_stats_fn(args.backend, G, K, n_samples=n_samples)
         log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
-        bench_batch = batch
+        bench_batch = raw_batch
         if getattr(stats_fn, "needs_plan", False):
             # Large-G path: attach the host-built sorted-block scatter plan,
             # same as the trainer (train/trainer.py).  N is tile-aligned
-            # here, so the plan maps the batch rows 1:1.
+            # here, so the plan maps the batch rows 1:1.  The plan fields
+            # ride through shard_batch BELOW (mirroring the trainer's
+            # attach-then-shard order), so on a multi-device mesh they would
+            # pick up the per-shard layout the kernel expects.
             from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
                 make_scatter_plan,
             )
 
             plan = make_scatter_plan(
-                np.asarray(ds.triplets), G, n_shards=1,
+                np.asarray(ds.triplets), G, n_shards=mesh.shape["data"],
                 wb=stats_fn.wb, tile=stats_fn.tile_b,
             )
-            bench_batch = batch._replace(
+            bench_batch = raw_batch._replace(
                 scatter_perm=jnp.asarray(plan.perm),
                 scatter_lid=jnp.asarray(plan.lid),
                 scatter_block=jnp.asarray(plan.block),
             )
             log(f"S={n_samples} large-G plan: wb={stats_fn.wb} tile={stats_fn.tile_b}")
+        bench_batch = shard_batch(mesh, bench_batch)
         step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
         step = make_sharded_multi_step(mesh, chunk, **step_kwargs)
         keys = jax.random.split(jax.random.key(0), n_samples)
@@ -140,6 +157,8 @@ def measure_engine(args) -> float:
         states, ll_hist = step(states0, bench_batch, degrees)
         _ = float(ll_hist[-1, 0])
         log(f"S={n_samples} first step (compile+run): {time.perf_counter() - t0:.1f}s")
+        if args.warm_only:
+            return 0.0
 
         # Timed: SWEEPS chained ensemble EM sweeps, best of ``reps`` (the
         # axon relay tunnel adds load-dependent jitter run-to-run).  The
@@ -184,6 +203,9 @@ def measure_baseline(args) -> float:
 def main() -> None:
     args = parse_args()
     engine_tps = measure_engine(args)
+    if args.warm_only:
+        print(json.dumps({"metric": "warm_only", "value": 1, "unit": "cache"}))
+        return
     baseline_tps = measure_baseline(args)
     result = {
         "metric": "em_restart_triplet_updates_per_sec_per_chip",

@@ -187,6 +187,62 @@ def test_wide_ensemble_uses_grouped_kernel():
     )
 
 
+def test_auto_dispatch_table_on_tpu(monkeypatch):
+    """Every branch of the two VMEM models, asserted for 'auto' as if on a
+    real TPU: a silent fall-through to the jnp path at a kernel-capable
+    shape is a ~12x perf cliff that must fail CI, not pass it (VERDICT r2
+    item 2)."""
+    import functools
+
+    import jax
+
+    from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+        pallas_em_ensemble_stats,
+        pallas_em_sufficient_stats,
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def kind_of(fn):
+        if fn is None:
+            return "jnp"
+        if getattr(fn, "needs_plan", False):
+            return "plan"
+        if not getattr(fn, "ensemble", False):
+            assert isinstance(fn, functools.partial)
+            assert fn.func is pallas_em_sufficient_stats
+            return "single"
+        if isinstance(fn, functools.partial):
+            assert fn.func is pallas_em_ensemble_stats
+            return "ensemble"
+        return "grouped"
+
+    cases = [
+        # (G, K, S) -> expected backend branch
+        (1000, 10, 1, "ensemble"),      # bench S=1 datapoint
+        (1000, 10, 10, "ensemble"),     # the S=10 headline shape
+        (1300, 10, 10, "ensemble"),     # Kuzmin gene count (shrunken tile)
+        (1000, 50, 10, "single"),       # large-K: per-restart kernel
+        # Large-K AND wide goes through _pick_group first, and at K=50 a
+        # 2-lane group still fits VMEM — so S>10 lane-stacks in pairs while
+        # S=10 runs per-restart.  Asserted as-is; tools/kernel_race.py is
+        # the place to decide if the pair-group should win below the cap.
+        (1000, 50, 12, "grouped"),
+        (1000, 10, 17, "grouped"),      # wide ensemble, prime S
+        (1000, 10, 50, "grouped"),      # wide ensemble
+        (100_000, 10, 10, "plan"),      # large-G scatter-plan path
+        (100_000, 10, 1, "plan"),
+        (500_000, 10, 10, "plan"),      # no G ceiling on the plan path
+        (30_000, 10, 10, "plan"),       # between one-hot ceiling and 100k
+    ]
+    for g, k, s, expected in cases:
+        fn = resolve_stats_fn("auto", g, k, n_samples=s)
+        got = kind_of(fn)
+        assert got == expected, f"(G={g}, K={k}, S={s}): {got} != {expected}"
+        if expected != "jnp":
+            assert getattr(fn, "tile_b", 0) >= 128, (g, k, s)
+
+
 def test_resolved_kernels_carry_tile_b():
     """The trainer distinguishes Pallas kernels from the jnp row-chunk
     partial by the .tile_b attribute (batch padding gate)."""

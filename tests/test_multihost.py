@@ -180,6 +180,66 @@ print(f"MH-OK pid={pid}", flush=True)
 """
 
 
+_ENSEMBLE_MESH_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+out_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+from trigenicinteractionpredictor_tpu.parallel.distributed import maybe_initialize
+
+topo = maybe_initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+assert topo.process_count == nproc, topo
+
+import json
+from trigenicinteractionpredictor_tpu.config import Config, MeshConfig, SplitConfig, TrainConfig
+from trigenicinteractionpredictor_tpu.data.synthetic import sample_synthetic_dataset
+from trigenicinteractionpredictor_tpu.train.driver import merge_report, run_units
+
+# cfg.mesh.ensemble=2 must be honored on each process's LOCAL 2-device
+# mesh (VERDICT r2 item 6: run_units used to hardcode a data-only mesh
+# and silently drop --mesh-ensemble in multi-process grid runs).
+ds, _, _ = sample_synthetic_dataset(600, 20, 3, seed=1)
+cfg = Config(
+    train=TrainConfig(k=3, sweeps=20, samples=2, likelihood_freq=10, seed=0),
+    split=SplitConfig(n_folds=2, seed=0),
+    mesh=MeshConfig(data=1, ensemble=2),
+    out_dir=out_dir,
+)
+records = run_units(cfg, ds, k_grid=[3])   # 2 folds x 1 K = 2 units
+assert len(records) == 2 // nproc, (pid, len(records))
+
+with open(os.path.join(out_dir, f"events_p{pid}.jsonl")) as fh:
+    events = [json.loads(line) for line in fh]
+mesh_ev = [e for e in events if e.get("event") == "local_mesh"]
+assert mesh_ev and mesh_ev[0]["ensemble"] == 2 and mesh_ev[0]["data"] == 1, mesh_ev
+
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("units_done")
+if pid == 0:
+    report = merge_report(out_dir)
+    assert report["summary"]["n_units"] == 2, report["summary"]
+print(f"MH-OK pid={pid}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_driver_honors_ensemble_mesh(tmp_path):
+    """A --mesh-ensemble 2 grid run builds local (ensemble=2, data=1)
+    meshes instead of silently dropping the configured axes."""
+    out_dir = str(tmp_path / "egrid")
+    outs = _spawn_workers(
+        tmp_path, _ENSEMBLE_MESH_WORKER, 2, extra_args=[out_dir], timeout=420
+    )
+    for rc, out in outs:
+        assert rc == 0, out[-3000:]
+        assert "MH-OK" in out, out[-3000:]
+
+
 @pytest.mark.slow
 def test_four_process_driver_partition_and_merge(tmp_path):
     """4 real processes partition the fold x K grid via run_units and host 0

@@ -11,7 +11,7 @@ layout must round-trip.
 
 import numpy as np
 
-from trigenicinteractionpredictor_tpu.config import Config, TrainConfig
+from trigenicinteractionpredictor_tpu.config import Config, EngineConfig, TrainConfig
 from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
 from trigenicinteractionpredictor_tpu.data.synthetic import (
     sample_synthetic_dataset,
@@ -57,6 +57,57 @@ def test_streamed_epoch_equals_monolithic(tmp_path):
     )
     np.testing.assert_allclose(
         streamed.final_loglik, mono.final_loglik, rtol=1e-6
+    )
+
+
+def test_streamed_fit_residency_is_group_bounded(tmp_path, monkeypatch):
+    """End to end (epochs + final likelihood): peak residency is
+    O(group*mb), not O(N) — pad_to() is never called (it concatenates a
+    whole-dataset host copy), and no single device transfer exceeds the
+    group window (VERDICT r2 item 3a+3b)."""
+    import jax
+
+    N, mbatch, groups = 8192, 256, 2
+    ds, _, _ = sample_synthetic_dataset(N, 32, 3, seed=3)
+    ds.save_dir(str(tmp_path / "big"))
+    store = TripletDataset.load_dir(str(tmp_path / "big"), mmap=True)
+
+    def no_pad(self, multiple):
+        raise AssertionError(
+            "pad_to() materializes the whole dataset — the beyond-HBM "
+            "stepwise path must never call it"
+        )
+
+    monkeypatch.setattr(TripletDataset, "pad_to", no_pad)
+
+    max_bytes = 0
+    real_put = jax.device_put
+
+    def tracking_put(x, *a, **k):
+        nonlocal max_bytes
+        for leaf in jax.tree.leaves(x):
+            if hasattr(leaf, "nbytes"):
+                max_bytes = max(max_bytes, int(leaf.nbytes))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", tracking_put)
+
+    cfg = Config(
+        train=TrainConfig(
+            k=3, sweeps=3, samples=2, minibatch=mbatch, likelihood_freq=1,
+            seed=4, stream_groups=groups,
+        ),
+        # Pin the pad multiple so mb stays at the requested 256 rows (the
+        # default 512 would round the window up and loosen the bound).
+        engine=EngineConfig(batch_pad_multiple=mbatch),
+    )
+    result = fit(cfg, store)
+    assert np.isfinite(result.final_loglik).all()
+    window_rows = groups * mbatch  # 512 of the 8192 dataset rows
+    window_bytes = window_rows * 3 * 4  # the int32 triplets of one group
+    assert 0 < max_bytes <= window_bytes, (
+        f"a device transfer of {max_bytes} bytes exceeds the "
+        f"{window_bytes}-byte group window — O(N) residency leak"
     )
 
 

@@ -66,22 +66,50 @@ class TripletDataset:
         """Padded row count (the static shape)."""
         return int(self.triplets.shape[0])
 
+    # Row-chunk size for host passes over possibly-memmapped arrays: large
+    # enough to amortize, small enough that a beyond-host-RAM dataset never
+    # materializes more than ~few-MB per pass (SURVEY.md §6 long-context).
+    _HOST_CHUNK = 1 << 20
+
     @property
     def n_real(self) -> int:
-        """Number of real (unpadded) observations."""
-        return int(np.sum(self.weights > 0))
+        """Number of real (unpadded) observations (streams memmaps)."""
+        c = self._HOST_CHUNK
+        return int(
+            sum(
+                int(np.count_nonzero(self.weights[i : i + c] > 0))
+                for i in range(0, self.n_rows, c)
+            )
+        )
+
+    def weight_total(self) -> float:
+        """Sum of row weights (f64 accumulation; streams memmaps)."""
+        c = self._HOST_CHUNK
+        return float(
+            sum(
+                np.sum(self.weights[i : i + c], dtype=np.float64)
+                for i in range(0, self.n_rows, c)
+            )
+        )
 
     def degrees(self) -> np.ndarray:
         """Per-gene degree d(g): number of real rows containing g.
 
         Used to normalize theta rows after the M-step; computed over the
         *training* rows of the active split only (SURVEY.md §8.4 risk 6),
-        so call this on the already-selected training subset.
+        so call this on the already-selected training subset.  Accumulated
+        in row chunks so a memory-mapped beyond-RAM dataset streams through
+        without a whole-array boolean mask or fancy-index copy.
         """
-        real = self.weights > 0
-        return np.bincount(
-            self.triplets[real].reshape(-1), minlength=self.n_genes
-        ).astype(np.int32)
+        deg = np.zeros(self.n_genes, dtype=np.int64)
+        c = self._HOST_CHUNK
+        for i in range(0, self.n_rows, c):
+            trip = np.asarray(self.triplets[i : i + c])
+            real = np.asarray(self.weights[i : i + c]) > 0
+            deg += np.bincount(
+                trip[real].reshape(-1), minlength=self.n_genes
+            )
+        return deg.astype(np.int32)
 
     # ------------------------------------------------------------------
     def select(self, idx: np.ndarray) -> "TripletDataset":

@@ -61,7 +61,13 @@ def merge_split_candidate(
     j, k = int(iu[0][pick]), int(iu[1][pick])
     w = mass.copy()
     w[[j, k]] = 0.0
-    split = int(rng.choice(K, p=w / max(w.sum(), 1e-12)))
+    if w.sum() < 1e-12:
+        # All theta mass sits in the merge pair (starved remaining groups —
+        # exactly the states split-merge targets): fall back to a uniform
+        # draw over the K-2 survivors instead of a zero probability vector.
+        w = np.ones(K)
+        w[[j, k]] = 0.0
+    split = int(rng.choice(K, p=w / w.sum()))
 
     # theta [G, K] -> [G, K]: the merge loses one column, the split adds one.
     keep = [g for g in range(K) if g not in (j, k, split)]

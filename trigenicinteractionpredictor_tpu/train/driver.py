@@ -84,17 +84,33 @@ def run_units(
     # must therefore run on this process's local devices only.  A global
     # mesh here would issue cross-process collectives while different
     # processes run different units — a deadlock.  (Callers that want one
-    # unit spread across all hosts pass an explicit mesh instead.)
+    # unit spread across all hosts pass an explicit mesh instead.)  The
+    # local mesh honors cfg.mesh's ensemble/model axes — a user's
+    # --mesh-ensemble/--mesh-model must not be silently dropped in exactly
+    # the grid runs the flags were built for (VERDICT r2 item 6) — with
+    # the data axis absorbing whatever devices remain.
     if mesh is None and jax.process_count() > 1:
         from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
 
         local = jax.local_devices()
-        mesh = make_mesh(data=len(local), ensemble=1, devices=local)
+        e = max(cfg.mesh.ensemble, 1)
+        m = max(cfg.mesh.model, 1)
+        if len(local) % (e * m) != 0:
+            raise ValueError(
+                f"{len(local)} local devices do not divide by "
+                f"mesh.ensemble*mesh.model={e * m}; fix --mesh-ensemble/"
+                f"--mesh-model or pass an explicit mesh"
+            )
+        mesh = make_mesh(
+            data=len(local) // (e * m), ensemble=e, model=m, devices=local
+        )
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     units_dir = os.path.join(cfg.out_dir, "units")
     os.makedirs(units_dir, exist_ok=True)
     logger = JsonlLogger(os.path.join(cfg.out_dir, f"events_p{pi}.jsonl"))
+    if mesh is not None:
+        logger.log("local_mesh", **{k: int(v) for k, v in mesh.shape.items()})
 
     records: List[dict] = []
     for i, unit in enumerate(make_work_units(cfg, ds, k_grid)):

@@ -172,50 +172,25 @@ def fit(
     else:
         kernel_tile = getattr(stats_fn, "tile_b", 0)
 
+    # The large-G kernel path scatters through a host-built sorted-block
+    # plan tied to one exact (padded, sharded) triplet array.  Stepwise EM
+    # reshuffles rows every epoch, which would invalidate the plan — fall
+    # back to the row-chunked jnp path there (the plan is built on the
+    # classic path below, after the stepwise branch, so a beyond-HBM
+    # stepwise run never materializes the padded dataset it would need).
+    stepwise = tcfg.minibatch > 0
+    if stepwise and getattr(stats_fn, "needs_plan", False):
+        log.log("backend", kernel="jnp", reason="large-G plan vs stepwise")
+        stats_fn = functools.partial(
+            em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
+        )
+        kernel_tile = 0
+
     # Pad rows so every data shard is equal-length (and, on the kernel path,
     # a multiple of the kernel tile); weight-0 rows are inert.
     pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
     if kernel_tile:
         pad = _lcm(pad, data_size * kernel_tile)
-    ds = train_ds.pad_to(pad)
-    degrees = jnp.asarray(ds.degrees())
-    batch = Batch(
-        triplets=jnp.asarray(ds.triplets),
-        ratings=jnp.asarray(ds.ratings),
-        weights=jnp.asarray(ds.weights),
-    )
-
-    # The large-G kernel path scatters through a host-built sorted-block
-    # plan tied to this exact (padded, sharded) triplet array.  Stepwise EM
-    # reshuffles rows every epoch, which would invalidate the plan — fall
-    # back to the row-chunked jnp path there.
-    if getattr(stats_fn, "needs_plan", False):
-        if tcfg.minibatch > 0:
-            log.log("backend", kernel="jnp", reason="large-G plan vs stepwise")
-            stats_fn = functools.partial(
-                em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
-            )
-        else:
-            from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
-                make_scatter_plan,
-            )
-
-            plan = make_scatter_plan(
-                np.asarray(ds.triplets),
-                ds.n_genes,
-                n_shards=data_size,
-                wb=stats_fn.wb,
-                tile=stats_fn.tile_b,
-            )
-            batch = batch._replace(
-                scatter_perm=jnp.asarray(plan.perm),
-                scatter_lid=jnp.asarray(plan.lid),
-                scatter_block=jnp.asarray(plan.block),
-            )
-            log.log(
-                "backend", kernel="pallas-large-g", tile_b=stats_fn.tile_b,
-                wb=stats_fn.wb, plan_rows=int(plan.perm.shape[0]),
-            )
 
     # Restart ensemble init (or resume).  The PRNG key only seeds the init —
     # classic EM is deterministic afterwards, so restoring ``states``
@@ -241,9 +216,9 @@ def fit(
         return jax.vmap(
             lambda k: init_state(
                 k,
-                ds.n_genes,
+                train_ds.n_genes,
                 tcfg.k,
-                ds.n_ratings,
+                train_ds.n_ratings,
                 alpha=tcfg.init_alpha,
                 arity=arity,
             )
@@ -267,7 +242,7 @@ def fit(
 
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
 
-    if tcfg.minibatch > 0:
+    if stepwise:
         stepwise_carry = None
         if resume is not None:
             if "stepwise_t" in resume_extra:
@@ -292,6 +267,38 @@ def fit(
         return _run_stepwise(
             cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path,
             start_epoch=start_sweep, ll_rows=ll_rows, carry=stepwise_carry,
+        )
+
+    # Classic (full-batch) EM: the whole padded training split is
+    # HBM-resident by design — the reference's own regime (SURVEY.md §1.3);
+    # beyond-HBM datasets take the stepwise branch above.
+    ds = train_ds.pad_to(pad)
+    degrees = jnp.asarray(ds.degrees())
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+    if getattr(stats_fn, "needs_plan", False):
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+            make_scatter_plan,
+        )
+
+        plan = make_scatter_plan(
+            np.asarray(ds.triplets),
+            ds.n_genes,
+            n_shards=data_size,
+            wb=stats_fn.wb,
+            tile=stats_fn.tile_b,
+        )
+        batch = batch._replace(
+            scatter_perm=jnp.asarray(plan.perm),
+            scatter_lid=jnp.asarray(plan.lid),
+            scatter_block=jnp.asarray(plan.block),
+        )
+        log.log(
+            "backend", kernel="pallas-large-g", tile_b=stats_fn.tile_b,
+            wb=stats_fn.wb, plan_rows=int(plan.perm.shape[0]),
         )
 
     # Sweeps between likelihood checks run as ONE device-side lax.scan per
@@ -486,9 +493,9 @@ def fit(
     )
 
 
-def _patch_worst_lane(cur_theta, cur_p, cur_ll, res):
+def _patch_worst_lane(cur_theta, cur_p, cur_ll, res, lane=None):
     """Accept a refinement result by replacing ONLY the worst original lane
-    with the sub-fit's best state.
+    with the sub-fit's winning state (``lane``; best lane when omitted).
 
     Both refinement stages re-seed the whole sub-ensemble from the current
     best state, so the sub-fit's S states are correlated explorations of one
@@ -497,7 +504,7 @@ def _patch_worst_lane(cur_theta, cur_p, cur_ll, res):
     ensemble-AUC loss on the e2e probe).  Patching one lane keeps the
     likelihood guarantee (the max never drops) AND the ensemble spread.
     """
-    best = int(np.argmax(res.final_loglik))
+    best = int(np.argmax(res.final_loglik)) if lane is None else int(lane)
     worst = int(np.argmin(cur_ll))
     cur_theta = cur_theta.copy()
     cur_p = cur_p.copy()
@@ -548,6 +555,11 @@ def _refine(
     cur_p = np.asarray(states.p)
     cur_ll = np.asarray(final_ll)
     extra = {"sweeps": 0, "wall": 0.0, "ll_rows": []}
+    if S < 2:
+        # Perturbed candidates live in lanes 1..S-1; with one lane the loop
+        # would only resweep the incumbent — skip instead of burning sweeps.
+        log.log("refine_skipped", reason=f"needs samples >= 2, got {S}")
+        return ModelState(theta=cur_theta, p=cur_p), cur_ll, extra
     for rnd in range(tcfg.refine_rounds):
         best = int(np.argmax(cur_ll))
         th_b, p_b = cur_theta[best], cur_p[best]
@@ -578,13 +590,23 @@ def _refine(
         extra["sweeps"] += res.sweeps_run
         extra["wall"] += res.wall_seconds
         extra["ll_rows"].extend(list(res.ll_trace))
-        if res.final_loglik.max() >= cur_ll.max():
+        # Strict improvement by a PERTURBED lane: lane 0 is the unperturbed
+        # best state resweeped, so by EM monotonicity it matches or beats
+        # cur_ll.max() essentially always — accepting on it would patch a
+        # best-basin clone over an original restart every round, eroding the
+        # ensemble diversity _patch_worst_lane exists to preserve (ADVICE
+        # round 2).  A proposal must beat BOTH the incumbent and the trivial
+        # resweep before it replaces anything.
+        lane_ll = np.asarray(res.final_loglik, dtype=np.float64)
+        bar = max(float(cur_ll.max()), float(lane_ll[0])) + 1e-6
+        win = 1 + int(np.argmax(lane_ll[1:]))
+        if float(lane_ll[win]) > bar:
             # Patch ONLY the worst original lane with the improved state:
             # replacing the whole ensemble with correlated perturbations of
             # one basin was measured to cost ~0.02 ensemble AUC on the e2e
             # probe (the sample-averaged score loses restart diversity).
             cur_theta, cur_p, cur_ll = _patch_worst_lane(
-                cur_theta, cur_p, cur_ll, res
+                cur_theta, cur_p, cur_ll, res, lane=win
             )
         log.log("refine_done", round=rnd, to_ll=float(cur_ll.max()))
     return (
@@ -640,6 +662,12 @@ def _smem(
     if K < 3:
         log.log("smem_skipped", reason=f"needs K >= 3, got {K}")
         return ModelState(theta=cur_theta, p=cur_p), cur_ll, extra
+    if S < 2:
+        # Merge-split candidates live in lanes 1..S-1; with one lane each
+        # round would silently resweep the incumbent with no proposal at all
+        # (ADVICE round 2) — skip, same as the K < 3 degenerate case.
+        log.log("smem_skipped", reason=f"needs samples >= 2, got {S}")
+        return ModelState(theta=cur_theta, p=cur_p), cur_ll, extra
     for rnd in range(tcfg.smem_rounds):
         best = int(np.argmax(cur_ll))
         th_b, p_b = cur_theta[best], cur_p[best]
@@ -662,20 +690,27 @@ def _smem(
         extra["sweeps"] += res.sweeps_run
         extra["wall"] += res.wall_seconds
         extra["ll_rows"].extend(list(res.ll_trace))
-        i = int(np.argmax(res.final_loglik))
-        accepted = bool(res.final_loglik[i] >= cur_ll.max())
+        # Strict improvement by a PROPOSAL lane (same rule as _refine, and
+        # the rule the split-merge study used — tools/split_merge_study.py):
+        # lane 0 is the unperturbed resweep, which EM monotonicity lets tie
+        # or beat cur_ll.max() every round, so `>=` against it would accept
+        # (and log a move for) rounds where every merge-split actually lost.
+        lane_ll = np.asarray(res.final_loglik, dtype=np.float64)
+        bar = max(float(cur_ll.max()), float(lane_ll[0])) + 1e-6
+        win = 1 + int(np.argmax(lane_ll[1:]))
+        accepted = bool(float(lane_ll[win]) > bar)
         if accepted:
             # Same diversity-preserving acceptance as _refine: only the
             # worst original lane is replaced by the improved state.
             cur_theta, cur_p, cur_ll = _patch_worst_lane(
-                cur_theta, cur_p, cur_ll, res
+                cur_theta, cur_p, cur_ll, res, lane=win
             )
         log.log(
             "smem_done",
             round=rnd,
             to_ll=float(cur_ll.max()),
             accepted_move=(
-                list(map(int, moves[i])) if accepted and moves[i] else None
+                list(map(int, moves[win])) if accepted and moves[win] else None
             ),
         )
     return (
@@ -722,13 +757,39 @@ def _run_stepwise(
     # Round the requested minibatch UP to a pad multiple (lcm would inflate
     # e.g. minibatch=1000 with pad=512 to 64000 rows).
     mb = -(-tcfg.minibatch // pad) * pad
-    ds = train_ds.pad_to(mb)
-    n_mb = ds.n_rows // mb
+    # The dataset is NEVER padded or materialized here: rows are gathered
+    # per dispatch group below, and indices past ``n`` denote synthetic
+    # weight-0 padding rows built on the fly — bit-identical to what
+    # pad_to(mb) would append, without the whole-dataset host copy it costs
+    # (VERDICT r2 item 3a).  Host passes (degrees, weight totals) stream in
+    # chunks through the possibly-memmapped arrays (data/packing.py).
+    ds = train_ds
+    n = ds.n_rows
+    arity = ds.arity
+    n_padded = -(-max(n, 1) // mb) * mb
+    n_mb = n_padded // mb
     if n_mb < 2:
         raise ValueError(
             f"minibatch={tcfg.minibatch} (padded to {mb}) leaves {n_mb} "
-            f"minibatches of {ds.n_rows} rows — use classic EM instead"
+            f"minibatches of {n_padded} rows — use classic EM instead"
         )
+
+    def _host_rows(idx: np.ndarray):
+        """Gather rows for padded-index-space ``idx`` into dense arrays.
+
+        Indices >= n are padding rows (gene 0, rating 0, weight 0) — the
+        same inert rows pad_to() appends.  Only ``idx.size`` rows ever
+        materialize on the host.
+        """
+        mask = idx < n
+        src = idx[mask]
+        trip = np.zeros((idx.size, arity), np.int32)
+        rat = np.zeros(idx.size, np.int32)
+        wts = np.zeros(idx.size, np.float32)
+        trip[mask] = ds.triplets[src]
+        rat[mask] = ds.ratings[src]
+        wts[mask] = ds.weights[src]
+        return trip, rat, wts
     # Beyond-HBM streaming: dispatch the epoch as groups of
     # ``stream_groups`` minibatches, so the device holds one group's rows
     # (group * mb) instead of the full dataset.  The EMA update sequence is
@@ -745,8 +806,8 @@ def _run_stepwise(
             kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
             stream_groups=group if n_dispatch > 1 else 0)
     degrees = jnp.asarray(ds.degrees())
-    arity = ds.arity
-    w_total_np = np.float32(np.sum(ds.weights, dtype=np.float64))
+    n_real = ds.n_real
+    w_total_np = np.float32(ds.weight_total())
 
     epoch_step = make_sharded_stepwise_epoch(
         mesh, group, kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
@@ -780,30 +841,25 @@ def _run_stepwise(
     stop = False
     w_total_sh = replicate(mesh, jnp.asarray(w_total_np))
     while epoch < tcfg.sweeps and not stop:
-        # (seed, epoch)-derived shuffle — replayable across resume.
+        # (seed, epoch)-derived shuffle — replayable across resume.  The
+        # permutation runs over the VIRTUAL padded index space (bit-
+        # identical to the old pad_to(mb) layout); the index array is the
+        # only O(N) host object, ~8 bytes/row vs the dataset's ~20.
         rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (epoch + 1))
-        perm = rng.permutation(ds.n_rows)
+        perm = rng.permutation(n_padded)
         ll_groups = []
         for d in range(n_dispatch):
-            # One group of minibatches on device at a time; the fancy
-            # index below is the only host materialization (group*mb rows),
-            # reading through the (possibly memory-mapped) dataset arrays.
+            # One group of minibatches on device at a time; _host_rows is
+            # the only host materialization (group*mb rows), reading
+            # through the (possibly memory-mapped) dataset arrays.
             gperm = perm[d * group * mb : (d + 1) * group * mb]
+            trip, rat, wts = _host_rows(gperm)
             batches = Batch(
                 triplets=jax.device_put(
-                    jnp.asarray(
-                        ds.triplets[gperm].reshape(group, mb, arity)
-                    ),
-                    mb_sharding,
+                    trip.reshape(group, mb, arity), mb_sharding
                 ),
-                ratings=jax.device_put(
-                    jnp.asarray(ds.ratings[gperm].reshape(group, mb)),
-                    mb_sharding,
-                ),
-                weights=jax.device_put(
-                    jnp.asarray(ds.weights[gperm].reshape(group, mb)),
-                    mb_sharding,
-                ),
+                ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
+                weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
             )
             states, ema, ll_g, t = epoch_step(
                 states, ema, t, batches, deg_sh, w_total_sh
@@ -830,7 +886,7 @@ def _run_stepwise(
                 epoch=epoch,
                 ll_best=float(ll_np.max()),
                 ll_mean=float(ll_np.mean()),
-                triplets_per_sec=epoch * ds.n_real / max(dt, 1e-9),
+                triplets_per_sec=epoch * n_real / max(dt, 1e-9),
             )
             if tcfg.tol > 0 and prev_check is not None:
                 if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
@@ -849,16 +905,29 @@ def _run_stepwise(
 
     jax.block_until_ready(states.theta)
     wall = time.perf_counter() - t0_wall
-    full_batch = shard_batch(
-        mesh,
-        Batch(
-            triplets=jnp.asarray(ds.triplets),
-            ratings=jnp.asarray(ds.ratings),
-            weights=jnp.asarray(ds.weights),
-        ),
-    )
-    final_ll = np.asarray(ll_fn(states, full_batch), dtype=np.float64)
-    tps = (epoch - start_epoch) * ds.n_real / max(wall, 1e-9)
+    # Final full-data likelihood, streamed through the same group-sized
+    # window the epochs used: the log-likelihood is additive over disjoint
+    # row slices, so peak device residency stays O(group*mb) instead of
+    # O(N) (VERDICT r2 item 3b).  Rows are read as CONTIGUOUS slices (no
+    # shuffle needed), so a memmapped store streams sequentially; the tail
+    # slice is zero-padded to keep ll_fn at one compiled shape.
+    L = group * mb
+    final_ll = np.zeros(S, dtype=np.float64)
+    for d in range(n_dispatch):
+        lo = d * L
+        hi = min(lo + L, n)
+        trip = np.zeros((L, arity), np.int32)
+        rat = np.zeros(L, np.int32)
+        wts = np.zeros(L, np.float32)
+        if hi > lo:
+            trip[: hi - lo] = ds.triplets[lo:hi]
+            rat[: hi - lo] = ds.ratings[lo:hi]
+            wts[: hi - lo] = ds.weights[lo:hi]
+        gb = shard_batch(
+            mesh, Batch(triplets=trip, ratings=rat, weights=wts)
+        )
+        final_ll += np.asarray(ll_fn(states, gb), dtype=np.float64)
+    tps = (epoch - start_epoch) * n_real / max(wall, 1e-9)
     log.log(
         "fit_done", sweeps=epoch, wall_s=wall, triplets_per_sec=tps,
         ll_best=float(final_ll.max()), mode="stepwise",
