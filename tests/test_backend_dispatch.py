@@ -200,6 +200,9 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         pallas_em_ensemble_stats,
         pallas_em_sufficient_stats,
     )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_hybrid import (
+        hybrid_em_ensemble_stats,
+    )
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
@@ -213,6 +216,8 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
             assert fn.func is pallas_em_sufficient_stats
             return "single"
         if isinstance(fn, functools.partial):
+            if fn.func is hybrid_em_ensemble_stats:
+                return "hybrid"
             assert fn.func is pallas_em_ensemble_stats
             return "ensemble"
         return "grouped"
@@ -230,10 +235,14 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         (1000, 50, 12, "grouped"),
         (1000, 10, 17, "grouped"),      # wide ensemble, prime S
         (1000, 10, 50, "grouped"),      # wide ensemble
+        # Past the one-hot ceiling the hybrid kernel (XLA gather, in-kernel
+        # scatter) takes over — measured faster than the plan path where
+        # both run (BASELINE.md round-3 race: 104M vs 94M at G=4000/S=10).
+        (4_000, 10, 10, "hybrid"),
         (100_000, 10, 10, "plan"),      # large-G scatter-plan path
         (100_000, 10, 1, "plan"),
         (500_000, 10, 10, "plan"),      # no G ceiling on the plan path
-        (30_000, 10, 10, "plan"),       # between one-hot ceiling and 100k
+        (30_000, 10, 10, "plan"),       # between hybrid ceiling and 100k
     ]
     for g, k, s, expected in cases:
         fn = resolve_stats_fn("auto", g, k, n_samples=s)

@@ -84,6 +84,90 @@ def test_kernel_in_em_step():
     np.testing.assert_allclose(float(stats.loglik), float(ref_ll), rtol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "n,g,k,r,s,tile_b",
+    [
+        (512, 40, 5, 2, 3, 256),
+        (300, 32, 4, 3, 2, 128),   # ragged: pads 300 -> 384, R=3
+        (256, 1500, 6, 2, 2, 128),  # G past the one-hot kernel's comfort zone
+    ],
+)
+def test_hybrid_kernel_matches_vmapped_jnp(n, g, k, r, s, tile_b):
+    """XLA-gather + in-kernel-scatter hybrid == vmapped jnp stats."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_hybrid import (
+        hybrid_em_ensemble_stats,
+    )
+
+    ds, batch, _ = _setup(n, g, k, r, seed=7, pad_to=tile_b)
+    keys = jax.random.split(jax.random.key(1), s)
+    states = jax.vmap(lambda kk: init_state(kk, g, k, r))(keys)
+    ref = jax.vmap(
+        lambda th, p: em_sufficient_stats(
+            th, p, batch, precision=jax.lax.Precision.HIGHEST
+        )
+    )(states.theta, states.p)
+    out = hybrid_em_ensemble_stats(
+        states.theta, states.p, batch, tile_b=tile_b, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta_hat), np.asarray(ref.theta_hat), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_hat), np.asarray(ref.p_hat), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.loglik), np.asarray(ref.loglik), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "n,g,k,r,s,tile_b,wb",
+    [
+        (512, 40, 5, 2, 3, 256, 32),
+        (300, 32, 4, 3, 2, 128, 16),    # ragged pad, R=3
+        (256, 1500, 6, 2, 2, 128, 512),  # large-G regime
+    ],
+)
+def test_bd_kernel_matches_vmapped_jnp(n, g, k, r, s, tile_b, wb):
+    """Block-diagonal ensemble kernel + plan scatter == vmapped jnp stats."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+        bd_em_ensemble_stats,
+    )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+        make_scatter_plan,
+    )
+
+    ds, batch, _ = _setup(n, g, k, r, seed=11, pad_to=tile_b)
+    plan = make_scatter_plan(
+        np.asarray(batch.triplets), g, n_shards=1, wb=wb, tile=tile_b
+    )
+    batch = batch._replace(
+        scatter_perm=jnp.asarray(plan.perm),
+        scatter_lid=jnp.asarray(plan.lid),
+        scatter_block=jnp.asarray(plan.block),
+    )
+    keys = jax.random.split(jax.random.key(2), s)
+    states = jax.vmap(lambda kk: init_state(kk, g, k, r))(keys)
+    ref = jax.vmap(
+        lambda th, p: em_sufficient_stats(
+            th, p, batch, precision=jax.lax.Precision.HIGHEST
+        )
+    )(states.theta, states.p)
+    out = bd_em_ensemble_stats(
+        states.theta, states.p, batch,
+        tile_b=tile_b, wb=wb, n_blocks=plan.n_blocks, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta_hat), np.asarray(ref.theta_hat), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_hat), np.asarray(ref.p_hat), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.loglik), np.asarray(ref.loglik), rtol=1e-5
+    )
+
+
 def test_ensemble_kernel_matches_vmapped_jnp():
     """S stacked restarts in one kernel call == vmapped jnp stats."""
     import jax

@@ -51,6 +51,15 @@ def main() -> None:
     ap.add_argument("-n", type=int, default=N)
     ap.add_argument("--sweeps", type=int, default=SWEEPS)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--tile", type=int, nargs="+", default=[512],
+        help="E-step/scatter tile sizes to try on the plan path "
+        "(latency-share probe: bigger tiles amortize per-matmul latency)",
+    )
+    ap.add_argument(
+        "--paths", nargs="+", default=["onehot", "hybrid", "plan"],
+        help="which kernel paths to race",
+    )
     args = ap.parse_args()
 
     import jax
@@ -139,40 +148,88 @@ def main() -> None:
             rows = []
 
             # Path A: one-hot ensemble kernel (grouped past the lane cap).
-            if S <= _MAX_ENSEMBLE_GROUP:
-                tile = _fit_tile(G, k, 512, S)
-                fn = _pallas_fn(tile) if tile is not None else None
-            else:
-                grp = _pick_group(G, k, 512, S)
-                fn = (
-                    _pallas_grouped_fn(_fit_tile(G, k, 512, grp), grp)
-                    if grp is not None
-                    else None
-                )
-            if fn is not None:
-                tps, cs = measure(fn, raw, ds, S)
-                rows.append(("onehot", None, tps, cs))
-            else:
-                rows.append(("onehot", None, 0.0, 0.0))
-                log(f"G={G} S={S}: one-hot kernel does not fit")
+            if "onehot" in args.paths:
+                if S <= _MAX_ENSEMBLE_GROUP:
+                    tile = _fit_tile(G, k, 512, S)
+                    fn = _pallas_fn(tile) if tile is not None else None
+                else:
+                    grp = _pick_group(G, k, 512, S)
+                    fn = (
+                        _pallas_grouped_fn(_fit_tile(G, k, 512, grp), grp)
+                        if grp is not None
+                        else None
+                    )
+                if fn is not None:
+                    tps, cs = measure(fn, raw, ds, S)
+                    rows.append(("onehot", None, tps, cs))
+                else:
+                    rows.append(("onehot", None, 0.0, 0.0))
+                    log(f"G={G} S={S}: one-hot kernel does not fit")
 
-            # Path B: pre-gathered + sorted-block scatter, per wb.
-            for wb in args.wb:
-                tile_lg = _fit_large_tile(k, 512, S)
-                if tile_lg is None:
-                    log(f"G={G} S={S} wb={wb}: large-G kernel does not fit")
-                    continue
-                n_blocks = -(-G // wb)
-                fn = functools.partial(
-                    large_g_ensemble_stats, tile_b=tile_lg, wb=wb,
-                    n_blocks=n_blocks,
+            # Path H: XLA gather + in-kernel one-hot scatter (hybrid).
+            if "hybrid" in args.paths:
+                from trigenicinteractionpredictor_tpu.ops.dispatch import (
+                    _fit_hybrid_tile,
+                    _pallas_hybrid_fn,
                 )
-                fn.ensemble = True
-                fn.tile_b = tile_lg
-                fn.wb = wb
-                fn.needs_plan = True
-                tps, cs = measure(fn, raw, ds, S)
-                rows.append(("plan", wb, tps, cs))
+
+                tile_h = _fit_hybrid_tile(G, k, 512, S)
+                if tile_h is not None:
+                    fn = _pallas_hybrid_fn(tile_h)
+                    tps, cs = measure(fn, raw, ds, S)
+                    rows.append(("hybrid", None, tps, cs))
+                else:
+                    log(f"G={G} S={S}: hybrid kernel does not fit")
+
+            # Path D: block-diagonal ensemble algebra + plan scatter.
+            if "bd" in args.paths:
+                from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+                    bd_em_ensemble_stats,
+                )
+
+                for wb in args.wb:
+                    for tile_bd in args.tile:
+                        n_blocks = -(-G // wb)
+                        fn = functools.partial(
+                            bd_em_ensemble_stats, tile_b=tile_bd, wb=wb,
+                            n_blocks=n_blocks,
+                        )
+                        fn.ensemble = True
+                        fn.tile_b = tile_bd
+                        fn.wb = wb
+                        fn.needs_plan = True
+                        try:
+                            tps, cs = measure(fn, raw, ds, S)
+                        except Exception as e:
+                            log(
+                                f"G={G} S={S} bd wb={wb} tile={tile_bd}: "
+                                f"{type(e).__name__}: {str(e)[:200]}"
+                            )
+                            continue
+                        rows.append((f"bd_t{tile_bd}", wb, tps, cs))
+
+            # Path B: pre-gathered + sorted-block scatter, per wb x tile.
+            if "plan" in args.paths:
+                for wb in args.wb:
+                    for tile_lg in args.tile:
+                        n_blocks = -(-G // wb)
+                        fn = functools.partial(
+                            large_g_ensemble_stats, tile_b=tile_lg, wb=wb,
+                            n_blocks=n_blocks,
+                        )
+                        fn.ensemble = True
+                        fn.tile_b = tile_lg
+                        fn.wb = wb
+                        fn.needs_plan = True
+                        try:
+                            tps, cs = measure(fn, raw, ds, S)
+                        except Exception as e:  # VMEM OOM probes survive
+                            log(
+                                f"G={G} S={S} wb={wb} tile={tile_lg}: "
+                                f"{type(e).__name__}: {str(e)[:200]}"
+                            )
+                            continue
+                        rows.append((f"plan_t{tile_lg}", wb, tps, cs))
 
             for path, wb, tps, cs in rows:
                 rec = {

@@ -58,6 +58,47 @@ def _fit_tile(
     return None
 
 
+def hybrid_kernel_fits(
+    n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1
+) -> bool:
+    """VMEM model for the hybrid kernel (ops/pallas_em_hybrid.py).
+
+    Only the SCATTER one-hot trio is G-sized (the gather runs as an XLA
+    row-take outside the kernel), so the one-hot term is half the one-hot
+    kernel's and the G ceiling roughly doubles; the pre-gathered th tiles
+    add three more [Bt, S*K] input streams.
+    """
+    s = max(n_samples, 1)
+    onehot = 3 * tile_b * n_genes * 4                 # scatter one-hots only
+    k2_tile = tile_b * k * k * 2 * 4                  # widest [Bt, R*K^2] tile
+    lanes = 3 * tile_b * s * k * 4 * 3                # th inputs (buffered) + s streams
+    theta_hat = n_genes * s * k * 4                   # VMEM accumulator
+    p_views = 2 * s * k * k * k * 2 * 4               # p_m + p_kk (R~2)
+    return onehot + k2_tile + lanes + theta_hat + p_views < _VMEM_BUDGET
+
+
+def _fit_hybrid_tile(
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1
+) -> Optional[int]:
+    t = tile_b
+    while t >= 128:
+        if hybrid_kernel_fits(n_genes, k, t, n_samples):
+            return t
+        t //= 2
+    return None
+
+
+def _pallas_hybrid_fn(tile_b: int) -> Callable:
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_hybrid import (
+        hybrid_em_ensemble_stats,
+    )
+
+    fn = functools.partial(hybrid_em_ensemble_stats, tile_b=tile_b)
+    fn.ensemble = True
+    fn.tile_b = tile_b
+    return fn
+
+
 # Large-G path (ops/pallas_em_large.py): no G-sized kernel buffers, so the
 # VMEM model only depends on (tile, K, S, wb).
 _LARGE_G_WB = 512
@@ -139,21 +180,35 @@ def resolve_stats_fn(
     # it the per-restart kernel keeps the MXU path (measured 20.4M
     # triplets/s at K=50 vs 1.4M on the chunked jnp path).
     tile1 = _fit_tile(n_genes, k, tile_b, 1) if tile is None and k >= 32 else None
+    # Mid-G fallback: the hybrid kernel (ops/pallas_em_hybrid.py) drops the
+    # G-sized GATHER one-hots (XLA row-take instead), roughly doubling the
+    # G ceiling, and measured faster than the plan path where both run
+    # (104M vs 94M updates/s at G=4000/K=10/S=10 — BASELINE.md roofline).
+    tile_h = None
+    if tile is None and tile1 is None and n_samples <= _MAX_ENSEMBLE_GROUP:
+        tile_h = _fit_hybrid_tile(n_genes, k, tile_b, n_samples)
     # Large-G fallback: the one-hot kernels are G-capped by their [Bt, G]
     # VMEM one-hots; the pre-gathered + sorted-block-scatter path
     # (ops/pallas_em_large.py) has no G-sized buffer, at the cost of a
     # host-built scatter plan (Batch.scatter_*; the trainer attaches one
     # when this fn's .needs_plan is set).  Only worth it once the one-hot
-    # kernel is out of the game; capped at the same Mosaic program-size
-    # ensemble width.
+    # AND hybrid kernels are out of the game; capped at the same Mosaic
+    # program-size ensemble width.
     tile_lg = None
-    if tile is None and tile1 is None and n_samples <= _MAX_ENSEMBLE_GROUP:
+    if (
+        tile is None
+        and tile1 is None
+        and tile_h is None
+        and n_samples <= _MAX_ENSEMBLE_GROUP
+    ):
         tile_lg = _fit_large_tile(k, tile_b, n_samples)
     if backend == "pallas":
         if tile is not None:
             return _pallas_fn(tile)
         if tile1 is not None:
             return _pallas_single_fn(tile1)
+        if tile_h is not None:
+            return _pallas_hybrid_fn(tile_h)
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes)
         raise ValueError(
@@ -172,6 +227,8 @@ def resolve_stats_fn(
             return _pallas_fn(tile)
         if tile1 is not None:
             return _pallas_single_fn(tile1)
+        if tile_h is not None:
+            return _pallas_hybrid_fn(tile_h)
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes)
     return None
