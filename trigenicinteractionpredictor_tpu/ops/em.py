@@ -93,6 +93,9 @@ class Batch(NamedTuple):
     scatter_perm: Optional[jax.Array] = None   # int32 [Lp] into [arity*B)
     scatter_lid: Optional[jax.Array] = None    # int32 [Lp]; -1 = inert pad
     scatter_block: Optional[jax.Array] = None  # int32 [n_tiles] gene blocks
+    # Rating-sorted path (ops/pallas_em_rsorted.py): per-tile rating class;
+    # rows must be in rating_sort_pad order.  None elsewhere.
+    tile_rating: Optional[jax.Array] = None    # int32 [n_tiles]
 
 
 class SweepStats(NamedTuple):

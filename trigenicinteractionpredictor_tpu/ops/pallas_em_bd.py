@@ -125,7 +125,9 @@ def _em_tile_kernel_bd(
     s2_ref,        # f32 [Bt, S*K]
     s3_ref,        # f32 [Bt, S*K]
     cross_ref,     # f32 [S*K2, R*S*K] — VMEM accumulator (diag = p stats)
-    ll_ref,        # f32 [S, 1] SMEM accumulator
+    ll_ref,        # f32 [1, S] — VMEM row accumulator (SMEM scalar writes
+                   # from lane-sliced column sums crash the Mosaic compile;
+                   # bisected on-chip 2026-08-20)
     *,
     k: int,
     n_ratings: int,
@@ -141,8 +143,7 @@ def _em_tile_kernel_bd(
     @pl.when(i == 0)
     def _init():
         cross_ref[:] = jnp.zeros_like(cross_ref)
-        for s in range(S):
-            ll_ref[s, 0] = 0.0
+        ll_ref[:] = jnp.zeros_like(ll_ref)
 
     r_onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (Bt, R), 1) == r_ref[:, 0][:, None]
@@ -196,8 +197,7 @@ def _em_tile_kernel_bd(
     )
 
     ll_tile = jnp.log(Dsum + _EPS) * w                      # [Bt, S]
-    for s in range(S):
-        ll_ref[s, 0] += jnp.sum(ll_tile[:, s])
+    ll_ref[:] += jnp.sum(ll_tile, axis=0, keepdims=True)    # [1, S]
 
 
 @functools.partial(
@@ -262,14 +262,14 @@ def _bd_estep(
             tile_spec(SK),
             tile_spec(SK),
             full_spec((SK2, R * SK)),
-            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full_spec((1, S)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, SK), jnp.float32),
             jax.ShapeDtypeStruct((B, SK), jnp.float32),
             jax.ShapeDtypeStruct((B, SK), jnp.float32),
             jax.ShapeDtypeStruct((SK2, R * SK), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             # ~7 ensemble-wide matmuls: T_all + A3 (R*SK2*SK each), spreads
@@ -301,7 +301,7 @@ def _bd_estep(
     s_stats = jnp.transpose(
         s_diag.reshape(S, K, K, R, K), (0, 1, 2, 4, 3)
     )                                                       # [S, K, K, K, R]
-    return jnp.stack([s1, s2, s3]), s_stats, ll[:, 0]
+    return jnp.stack([s1, s2, s3]), s_stats, ll[0, :]
 
 
 def bd_em_ensemble_stats(

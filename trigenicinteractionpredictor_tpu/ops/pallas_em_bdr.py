@@ -1,0 +1,292 @@
+"""bdr kernel: block-diagonal ensemble algebra in the one-hot kernel,
+over rating-sorted tiles.  The round-3 flagship (BASELINE.md roofline).
+
+Measured stage economics at the G=1000/K=10/S=10 headline shape
+(tools/kernel_race.py + the 2026-08-20 stage-timing job):
+
+- XLA row gathers are ~10x off the HBM roof on the axon chip (4 ms for
+  three [131k, 100] takes) — any path that gathers outside the kernel
+  loses more than its kernel saves (hybrid: 148M vs one-hot 162M).
+  => keep the one-hot gather/scatter MATMULS (they are well-shaped MXU
+  passes, ~3-6 us/tile) and never touch HBM mid-sweep.
+- The per-restart tile-body loop costs ~5.1 ms/sweep (70 tiny
+  latency-bound K^2-matmuls + R-select masks per tile); the bd rewrite
+  (ops/pallas_em_bd.py) cut that stage to ~2.8 ms by batching all S
+  restarts into one matmul per algebra stage against block-diagonal
+  operands.
+- Rating masks halve again: rows sorted by rating (ops/pallas_em_rsorted
+  machinery) make tiles rating-pure, so the prefetched tile->rating index
+  picks the p row-block and every R-select disappears while T/A3/cross
+  run at 1/R width.
+
+This kernel composes all three: per tile it runs
+
+    th*_all = oh* @ theta                      # 3 G-matmuls (gather)
+    T       = th3_all @ Pm_bd[r]               # [Bt, S*K^2]
+    spreadX = thX_all @ E_bd                   # 2x [Bt, S*K^2]
+    A1/A2   = (T * spread) @ E_bd.T            # 2x [Bt, S*K]
+    Dsum    = (th1_all * A1) @ KS              # [Bt, S]
+    A3      = (spread1*spread2) @ Pkk_bd[r]    # [Bt, S*K]
+    cross[r]+= V.T @ th3_all                   # p-stats, ALL restarts
+    theta_hat += oh*.T @ s*_all                # 3 G-matmuls (scatter)
+
+~16 MXU matmuls per tile, INDEPENDENT of S (ensemble width rides lane
+dimensions and block-diagonal FLOP overcompute, which is free at the
+measured ~2-12% MXU utilization).  No [Bt, *] intermediate ever reaches
+HBM.  VMEM scales with Bt*S*K^2, so the tile shrinks as S*K^2 grows
+(ops/dispatch.py bdr fit model).
+
+Parity: tests/test_kernel_parity.py (interpret mode); the trainer path
+sorts rows with rating_sort_pad/apply_rating_sort and attaches
+Batch.tile_rating.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trigenicinteractionpredictor_tpu.ops.em import Batch, SweepStats
+from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import _bd_selectors
+
+_EPS = 1e-30
+DEFAULT_TILE_B = 256
+
+
+def _bdr_params(ps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Rating-row-blocked block-diagonal p views (rebuilt per sweep in XLA).
+
+    Pm_bd  [R*S*K, S*K^2]: row (r, s, m); col (s', (k,l)); p[s,k,l,m,r] on
+    the s == s' diagonal.  Pkk_bd [R*S*K^2, S*K]: row (r, s, (k,l)); col
+    (s', m).
+    """
+    S, K = ps.shape[0], ps.shape[1]
+    R = ps.shape[-1]
+    K2 = K * K
+    p_rskl_m = jnp.transpose(ps, (4, 0, 3, 1, 2)).reshape(R, S, K, K2)
+    eye = jnp.eye(S, dtype=ps.dtype)
+    # Pm_bd[(r,s,m), (t,(k,l))] = p_rskl_m[r, s, m, kl] * eye[s, t]
+    pm = jnp.einsum("rsmc,st->rsmtc", p_rskl_m, eye)
+    Pm_bd = pm.reshape(R, S * K, S * K2)
+    p_rsklm = jnp.transpose(ps, (4, 0, 1, 2, 3)).reshape(R, S, K2, K)
+    pk = jnp.einsum("rscm,st->rsctm", p_rsklm, eye)
+    Pkk_bd = pk.reshape(R, S * K2, S * K)
+    return Pm_bd, Pkk_bd
+
+
+def _em_tile_kernel_bdr(
+    # scalar prefetch
+    tile_r_ref,    # int32 [n_tiles]
+    # inputs
+    trip_ref,      # int32 [Bt, 3]
+    w_ref,         # f32  [Bt, 1]
+    theta_ref,     # f32  [G, S*K]
+    pm_ref,        # f32  [1, S*K, S*K2]   this rating's block-diag slice
+    pkk_ref,       # f32  [1, S*K2, S*K]   (leading rating dim blocked to 1)
+    e1_ref,        # f32  [S*K, S*K2]    block-diag spread
+    e2_ref,        # f32  [S*K, S*K2]
+    e1t_ref,       # f32  [S*K2, S*K]
+    e2t_ref,       # f32  [S*K2, S*K]
+    ks_ref,        # f32  [S*K, S]
+    kst_ref,       # f32  [S, S*K]
+    k2s_ref,       # f32  [S, S*K2]
+    # outputs
+    theta_hat_ref,  # f32 [G, S*K] — VMEM accumulator
+    cross_ref,      # f32 [1, S*K2, S*K] — this rating's p-stat cross block
+    ll_ref,         # f32 [1, S] — VMEM row accumulator
+    *,
+    k: int,
+    n_samples: int,
+):
+    i = pl.program_id(0)
+    K, S = k, n_samples
+    Bt = trip_ref.shape[0]
+    G = theta_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init_global():
+        theta_hat_ref[:] = jnp.zeros_like(theta_hat_ref)
+        ll_ref[:] = jnp.zeros_like(ll_ref)
+
+    first_of_block = jnp.logical_or(
+        i == 0, tile_r_ref[jnp.maximum(i - 1, 0)] != tile_r_ref[i]
+    )
+
+    theta = theta_ref[:]
+    gene_iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
+
+    def onehot(pos: int):
+        return (gene_iota == trip_ref[:, pos][:, None]).astype(jnp.float32)
+
+    oh1, oh2, oh3 = onehot(0), onehot(1), onehot(2)
+    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32)
+    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32)
+    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
+    w = w_ref[:]
+
+    T = jnp.dot(th3_all, pm_ref[0], preferred_element_type=jnp.float32)
+    spread1 = jnp.dot(th1_all, e1_ref[:], preferred_element_type=jnp.float32)
+    spread2 = jnp.dot(th2_all, e2_ref[:], preferred_element_type=jnp.float32)
+
+    A1 = jnp.dot(T * spread2, e1t_ref[:], preferred_element_type=jnp.float32)
+    A2 = jnp.dot(T * spread1, e2t_ref[:], preferred_element_type=jnp.float32)
+
+    Dsum = jnp.dot(
+        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32
+    )                                                       # [Bt, S]
+    scale_S = w / (Dsum + _EPS)
+    scale = jnp.dot(scale_S, kst_ref[:], preferred_element_type=jnp.float32)
+
+    W = spread1 * spread2
+    A3 = jnp.dot(W, pkk_ref[0], preferred_element_type=jnp.float32)
+
+    s1 = th1_all * A1 * scale
+    s2 = th2_all * A2 * scale
+    s3 = th3_all * A3 * scale
+
+    scale2 = jnp.dot(scale_S, k2s_ref[:], preferred_element_type=jnp.float32)
+    V = W * scale2
+    contrib = jnp.dot(V.T, th3_all, preferred_element_type=jnp.float32)
+
+    @pl.when(first_of_block)
+    def _set():
+        cross_ref[0] = contrib
+
+    @pl.when(jnp.logical_not(first_of_block))
+    def _acc():
+        cross_ref[0] += contrib
+
+    theta_hat_ref[:] += (
+        jnp.dot(oh1.T, s1, preferred_element_type=jnp.float32)
+        + jnp.dot(oh2.T, s2, preferred_element_type=jnp.float32)
+        + jnp.dot(oh3.T, s3, preferred_element_type=jnp.float32)
+    )
+    ll_tile = jnp.log(Dsum + _EPS) * w                      # [Bt, S]
+    ll_ref[:] += jnp.sum(ll_tile, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def _pallas_stats_bdr(
+    thetas: jax.Array,   # [S, G, K]
+    ps: jax.Array,       # [S, K, K, K, R]
+    triplets: jax.Array,
+    weights: jax.Array,
+    tile_r: jax.Array,   # int32 [n_tiles]
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    S, G, K = thetas.shape
+    R = ps.shape[-1]
+    B = triplets.shape[0]
+    assert B % tile_b == 0, f"batch {B} must be padded to a multiple of {tile_b}"
+    n_tiles = B // tile_b
+    assert tile_r.shape == (n_tiles,), (tile_r.shape, n_tiles)
+    K2 = K * K
+    SK, SK2 = S * K, S * K2
+
+    theta_all = jnp.transpose(thetas, (1, 0, 2)).reshape(G, SK)
+    Pm_bd, Pkk_bd = _bdr_params(ps.astype(jnp.float32))
+    E1, E2, KS, K2S = _bd_selectors(K, S)
+
+    kernel = functools.partial(_em_tile_kernel_bdr, k=K, n_samples=S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, 3), lambda i, tr: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, tr: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SK, SK2), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SK2, SK), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SK, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SK, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SK2, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SK2, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SK, S), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SK2, SK), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    theta_hat, cross, ll = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, SK), jnp.float32),
+            jax.ShapeDtypeStruct((R, SK2, SK), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (6 * G * SK + 7 * SK2 * SK) // 1,
+            bytes_accessed=B * (3 * 4 + 4) + G * SK * 4 * 2,
+            transcendentals=B * S,
+        ),
+        interpret=interpret,
+    )(
+        tile_r,
+        triplets,
+        weights[:, None].astype(jnp.float32),
+        theta_all.astype(jnp.float32),
+        Pm_bd,
+        Pkk_bd,
+        jnp.asarray(E1),
+        jnp.asarray(E2),
+        jnp.asarray(E1.T),
+        jnp.asarray(E2.T),
+        jnp.asarray(KS),
+        jnp.asarray(KS.T),
+        jnp.asarray(K2S),
+    )
+    theta_hat = jnp.transpose(theta_hat.reshape(G, S, K), (1, 0, 2))
+    # cross rows (r, s, (k,l)), cols (s', m): take the s == s' diagonal.
+    cross6 = cross.reshape(R, S, K2, S, K)
+    s_diag = cross6[:, jnp.arange(S), :, jnp.arange(S), :]   # [S, R, K2, K]
+    s_stats = jnp.transpose(
+        s_diag.reshape(S, R, K, K, K), (0, 2, 3, 4, 1)
+    )                                                        # [S, K, K, K, R]
+    return theta_hat, s_stats, ll[0, :]
+
+
+def bdr_em_ensemble_stats(
+    thetas: jax.Array,
+    ps: jax.Array,
+    batch: Batch,
+    precision=None,      # signature compatibility; unused
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool | None = None,
+) -> SweepStats:
+    """Whole-ensemble fused sweep: bd algebra x rating-sorted x one-hot.
+
+    Requires ``batch.tile_rating`` and rows in rating_sort_pad order
+    (ops/pallas_em_rsorted.rating_sort_pad / apply_rating_sort).
+    """
+    if batch.tile_rating is None:
+        raise ValueError(
+            "bdr stats need batch.tile_rating; build with rating_sort_pad "
+            "and reorder rows with apply_rating_sort"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    theta_hat, s, ll = _pallas_stats_bdr(
+        thetas,
+        ps,
+        batch.triplets,
+        batch.weights,
+        batch.tile_rating,
+        tile_b=tile_b,
+        interpret=interpret,
+    )
+    return SweepStats(theta_hat=theta_hat, p_hat=ps * s, loglik=ll)
+
+
+bdr_em_ensemble_stats.ensemble = True  # type: ignore[attr-defined]

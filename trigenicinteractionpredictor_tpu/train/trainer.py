@@ -140,6 +140,25 @@ def fit(
                 f"{mesh.shape['model']}"
             )
         log.log("backend", kernel="jnp-tp", model_shards=mesh.shape["model"])
+        # TP is a multi-chip MEMORY feature (p + its K^3 stats shard over
+        # ``model`` when they outgrow one chip's HBM), not a speed feature:
+        # it bypasses the fused Pallas kernels, and on a single chip the
+        # per-restart kernel beats the TP-jnp step at every K that fits
+        # HBM (measured 21.7M vs 1.4M updates/s at K=50, BASELINE.md).
+        # Say so loudly whenever the kernel would have been available.
+        from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn as _rs
+
+        if _rs("auto", train_ds.n_genes, tcfg.k, cfg.engine.tile_b,
+               n_samples=S // ens_size) is not None:
+            log.log(
+                "backend_warning",
+                message=(
+                    "mesh.model > 1 deselects the Pallas kernel; on a "
+                    "single chip the kernel path is ~15x faster at this "
+                    "shape — use TP only when p/stats exceed one chip's "
+                    "HBM (see BASELINE.md TP row)"
+                ),
+            )
 
     # Resolve the compute backend (jnp vs Pallas fused kernel); the digenic
     # (arity-2) family always takes the jnp path.  ``kernel_tile`` is only
