@@ -125,7 +125,34 @@ def measure_engine(args) -> float:
         stats_fn = resolve_stats_fn(args.backend, G, K, n_samples=n_samples)
         log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
         bench_batch = raw_batch
-        if getattr(stats_fn, "needs_plan", False):
+        if getattr(stats_fn, "needs_rsort", False):
+            # bdr path: per-shard rating sort + per-class tile padding,
+            # same as the trainer (train/trainer.py).  The tile table
+            # rides through shard_batch like the other plan fields.
+            from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+                apply_rating_sort,
+                rating_sort_pad,
+            )
+
+            rplan = rating_sort_pad(
+                np.asarray(ds.ratings), R, tile=stats_fn.tile_b,
+                n_shards=mesh.shape["data"],
+            )
+            t_, r_, w_ = apply_rating_sort(
+                rplan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+                np.asarray(ds.weights), n_shards=mesh.shape["data"],
+            )
+            bench_batch = Batch(
+                triplets=jnp.asarray(t_),
+                ratings=jnp.asarray(r_),
+                weights=jnp.asarray(w_),
+                tile_rating=jnp.asarray(rplan.tile_r),
+            )
+            log(
+                f"S={n_samples} bdr rating-sort: tile={stats_fn.tile_b} "
+                f"rows={rplan.n_rows * mesh.shape['data']}"
+            )
+        elif getattr(stats_fn, "needs_plan", False):
             # Large-G path: attach the host-built sorted-block scatter plan,
             # same as the trainer (train/trainer.py).  N is tile-aligned
             # here, so the plan maps the batch rows 1:1.  The plan fields

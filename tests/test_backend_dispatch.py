@@ -209,6 +209,8 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
     def kind_of(fn):
         if fn is None:
             return "jnp"
+        if getattr(fn, "needs_rsort", False):
+            return "bdr"
         if getattr(fn, "needs_plan", False):
             return "plan"
         if not getattr(fn, "ensemble", False):
@@ -223,22 +225,25 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         return "grouped"
 
     cases = [
-        # (G, K, S) -> expected backend branch
-        (1000, 10, 1, "ensemble"),      # bench S=1 datapoint
-        (1000, 10, 10, "ensemble"),     # the S=10 headline shape
-        (1300, 10, 10, "ensemble"),     # Kuzmin gene count (shrunken tile)
+        # (G, K, S) -> expected backend branch.  bdr (block-diag x rating-
+        # sorted x one-hot) is the measured champion wherever it fits
+        # (BASELINE.md round-3 race: 1.84x the one-hot kernel).
+        (1000, 10, 1, "bdr"),           # bench S=1 datapoint
+        (1000, 10, 10, "bdr"),          # the S=10 headline shape
+        (1300, 10, 10, "bdr"),          # Kuzmin gene count (shrunken tile)
         (1000, 50, 10, "single"),       # large-K: per-restart kernel
         # Large-K AND wide goes through _pick_group first, and at K=50 a
         # 2-lane group still fits VMEM — so S>10 lane-stacks in pairs while
         # S=10 runs per-restart.  Asserted as-is; tools/kernel_race.py is
         # the place to decide if the pair-group should win below the cap.
         (1000, 50, 12, "grouped"),
-        (1000, 10, 17, "grouped"),      # wide ensemble, prime S
+        # bdr has no lane-group cap (program size is S-independent): it
+        # takes S=17 directly; S=50 exceeds its VMEM envelope -> grouped.
+        (1000, 10, 17, "bdr"),
         (1000, 10, 50, "grouped"),      # wide ensemble
-        # Past the one-hot ceiling the hybrid kernel (XLA gather, in-kernel
-        # scatter) takes over — measured faster than the plan path where
-        # both run (BASELINE.md round-3 race: 104M vs 94M at G=4000/S=10).
-        (4_000, 10, 10, "hybrid"),
+        (4_000, 10, 10, "bdr"),         # bdr's G ceiling beats one-hot's
+        (6_000, 10, 10, "bdr"),         # measured 102M vs hybrid's 78M
+        (8_000, 10, 10, "bdr"),         # measured 87M; hybrid cannot fit
         (100_000, 10, 10, "plan"),      # large-G scatter-plan path
         (100_000, 10, 1, "plan"),
         (500_000, 10, 10, "plan"),      # no G ceiling on the plan path
@@ -250,6 +255,16 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         assert got == expected, f"(G={g}, K={k}, S={s}): {got} != {expected}"
         if expected != "jnp":
             assert getattr(fn, "tile_b", 0) >= 128, (g, k, s)
+
+    # Stepwise (static_rows=False) excludes the row-order-baking kernels:
+    # the headline shape falls back to the one-hot ensemble kernel, and
+    # the mid-G regime to the hybrid kernel (XLA gather, order-free).
+    assert kind_of(resolve_stats_fn("auto", 1000, 10, n_samples=10,
+                                    static_rows=False)) == "ensemble"
+    assert kind_of(resolve_stats_fn("auto", 4000, 10, n_samples=10,
+                                    static_rows=False)) == "hybrid"
+    assert kind_of(resolve_stats_fn("auto", 100_000, 10, n_samples=10,
+                                    static_rows=False)) == "jnp"
 
 
 def test_resolved_kernels_carry_tile_b():

@@ -26,7 +26,6 @@ Usage:
 from __future__ import annotations
 
 import contextlib
-import io
 import os
 import sys
 import time
@@ -86,21 +85,21 @@ def main() -> None:
         # its in-memory compile caches are untouched.
         for mod in [m for m in sys.modules if m.startswith("trigenicinteractionpredictor_tpu")]:
             del sys.modules[mod]
-        buf = io.StringIO()
+        # Stream output straight to the .out file (line-buffered) so a
+        # wedged relay call doesn't take the partial results with it.
         t0 = time.perf_counter()
-        try:
-            with open(src) as f:
-                code = compile(f.read(), src, "exec")
-            with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
-                exec(code, {"__name__": "__tpu_job__", "SHARED": SHARED})
-            status = "ok"
-        except BaseException:
-            buf.write("\n" + traceback.format_exc())
-            status = "error"
-        dt = time.perf_counter() - t0
-        with open(out_path, "w") as f:
-            f.write(buf.getvalue())
-            f.write(f"\n[worker] status={status} wall={dt:.1f}s\n")
+        with open(out_path, "w", buffering=1) as out:
+            try:
+                with open(src) as f:
+                    code = compile(f.read(), src, "exec")
+                with contextlib.redirect_stdout(out), contextlib.redirect_stderr(out):
+                    exec(code, {"__name__": "__tpu_job__", "SHARED": SHARED})
+                status = "ok"
+            except BaseException:
+                out.write("\n" + traceback.format_exc())
+                status = "error"
+            dt = time.perf_counter() - t0
+            out.write(f"\n[worker] status={status} wall={dt:.1f}s\n")
         os.replace(src, os.path.join(ddir, name))
         print(f"[worker] {name}: {status} in {dt:.1f}s", flush=True)
     print("[worker] STOP seen; exiting", flush=True)

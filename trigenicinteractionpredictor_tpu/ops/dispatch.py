@@ -58,6 +58,58 @@ def _fit_tile(
     return None
 
 
+def bdr_kernel_fits(
+    n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1
+) -> bool:
+    """VMEM model for the bdr kernel (ops/pallas_em_bdr.py).
+
+    Live set per tile: the scatter/gather one-hot trio (shared buffers —
+    Mosaic reuses them between the gather and scatter matmuls), ~3
+    concurrently-live [Bt, S*K^2] slabs (T/spreads die into A1/A2/W as the
+    schedule advances), the block-diagonal operand matrices, and the
+    G-sized theta/theta_hat pair.  Calibrated on-chip 2026-08-20:
+    G=1000/K=10/S=10/tile=512 runs (measured 230M upd/s); the probe job
+    (60_bdr_fit_probe) pins the boundary.
+    """
+    s = max(n_samples, 1)
+    sk, sk2 = s * k, s * k * k
+    # Two constraints calibrated against the 60_bdr_fit_probe on-chip grid
+    # (2026-08-20; 12 shapes x tile, compile+run):
+    # 1. tile-scaled buffers (one-hots + SK2 slabs): t512 passes at
+    #    G=2000/S=10 (18.4 MB) and fails at G=3000 (24.6 MB).
+    # 2. wide-ensemble envelope (slabs + the 6 block-diag operand mats +
+    #    cross): S=24 runs at t128 (19.8 MB) and fails at t256 (23.5 MB).
+    # Mosaic evidently streams operands the naive residency sum says can't
+    # fit (K=25/S=10 ran at t128 with a 37 MB mats sum), so this is an
+    # envelope of measured-good shapes, not a residency model.
+    tiled = 3 * tile_b * (n_genes + sk2) * 4
+    wide = 3 * tile_b * sk2 * 4 + 7 * sk * sk2 * 4
+    return tiled <= int(18.5e6) and wide <= int(23e6)
+
+
+def _fit_bdr_tile(
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1
+) -> Optional[int]:
+    t = tile_b
+    while t >= 128:
+        if bdr_kernel_fits(n_genes, k, t, n_samples):
+            return t
+        t //= 2
+    return None
+
+
+def _pallas_bdr_fn(tile_b: int) -> Callable:
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bdr import (
+        bdr_em_ensemble_stats,
+    )
+
+    fn = functools.partial(bdr_em_ensemble_stats, tile_b=tile_b)
+    fn.ensemble = True
+    fn.tile_b = tile_b
+    fn.needs_rsort = True  # trainer sorts rows by rating + attaches tile_rating
+    return fn
+
+
 def hybrid_kernel_fits(
     n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1
 ) -> bool:
@@ -142,6 +194,7 @@ def resolve_stats_fn(
     tile_b: int = 512,
     arity: int = 3,
     n_samples: int = 1,
+    static_rows: bool = True,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
@@ -149,6 +202,11 @@ def resolve_stats_fn(
     Raises on backend='pallas' when no tile fits.  The digenic (arity-2)
     family always uses the jnp path: its sweep is K^2-scale and nowhere
     near the MXU roofline, so a hand kernel would buy nothing.
+
+    ``static_rows=False`` (stepwise EM reshuffles rows every epoch)
+    excludes the kernels that precompute a host-side row order — the
+    rating-sorted bdr kernel and the large-G scatter-plan path — leaving
+    the order-free one-hot/hybrid family.
     """
     if backend in (None, "", "jnp") or arity != 3:
         if backend not in (None, "", "jnp", "auto", "pallas"):
@@ -156,6 +214,19 @@ def resolve_stats_fn(
         return None
     if backend not in ("auto", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
+    # Fastest first: the bdr kernel (block-diag ensemble algebra over
+    # rating-sorted tiles) measured 1.84x the one-hot kernel at the
+    # headline shape (5.70 vs 10.48 ms single-dispatch at G=1000/K=10/
+    # S=10 — BASELINE.md round-3 race).  Needs a static row order.  Its
+    # Mosaic program size is S-INDEPENDENT (no unrolled restart loop), so
+    # unlike the one-hot family it takes any ensemble width its VMEM
+    # envelope admits — no lane-group cap.
+    if static_rows:
+        tile_bdr = _fit_bdr_tile(n_genes, k, tile_b, n_samples)
+        if tile_bdr is not None and (
+            backend == "pallas" or jax.default_backend() == "tpu"
+        ):
+            return _pallas_bdr_fn(tile_bdr)
     # The ensemble kernel unrolls the per-restart algebra in its tile body;
     # very wide ensembles both exceed VMEM and blow up the Mosaic program
     # (S=50 crashes the compile helper).  Cap the lane-stacked group and
@@ -199,6 +270,7 @@ def resolve_stats_fn(
         tile is None
         and tile1 is None
         and tile_h is None
+        and static_rows  # the scatter plan bakes a row order too
         and n_samples <= _MAX_ENSEMBLE_GROUP
     ):
         tile_lg = _fit_large_tile(k, tile_b, n_samples)

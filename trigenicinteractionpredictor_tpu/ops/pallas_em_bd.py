@@ -164,8 +164,16 @@ def _em_tile_kernel_bd(
     A2 = jnp.dot(T * spread1, e2t_ref[:], preferred_element_type=jnp.float32)
 
     # Per-restart denominators and scales, ensemble-wide.
+    # Precision note (measured on-chip 2026-08-20): with the MXU's DEFAULT
+    # bf16 operand passes the 60-sweep likelihood trace shows max drops of
+    # ~3e-4 relative (-37 nats at |L| ~ 9e4) — the same envelope as the
+    # one-hot incumbent (-41 nats), i.e. pre-existing on-chip numerics,
+    # not a bd regression; exact monotonicity holds in f32 (CPU tests).
+    # Forcing HIGHEST on the scale-chain matmuls only shrank the drop to
+    # -28 nats while costing 30% throughput (4.35 vs 3.34 ms/sweep), so
+    # DEFAULT stays.
     Dsum = jnp.dot(
-        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32
+        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32,
     )                                                       # [Bt, S]
     scale_S = w / (Dsum + _EPS)                             # [Bt, S]
     scale = jnp.dot(
@@ -184,9 +192,7 @@ def _em_tile_kernel_bd(
 
     # p statistics: ONE cross matmul for the whole ensemble; only the
     # s == s' diagonal blocks are the wanted stats (XLA extracts outside).
-    scale2 = jnp.dot(
-        scale_S, k2s_ref[:], preferred_element_type=jnp.float32
-    )                                                       # [Bt, SK2]
+    scale2 = jnp.dot(scale_S, k2s_ref[:], preferred_element_type=jnp.float32)                                                       # [Bt, SK2]
     V = W * scale2
     th3r_parts = []
     for rr in range(R):

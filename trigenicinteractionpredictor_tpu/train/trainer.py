@@ -166,6 +166,7 @@ def fit(
     # partial below must NOT trigger tile-aligned padding, which would
     # silently inflate stepwise minibatch sizes (ADVICE round 1).
     arity = train_ds.arity
+    stepwise = tcfg.minibatch > 0
     kernel_tile = 0
     if use_tp:
         stats_fn = None
@@ -179,6 +180,10 @@ def fit(
             cfg.engine.tile_b,
             arity=arity,
             n_samples=S // ens_size,  # restarts resident per device
+            # Stepwise EM reshuffles rows every epoch; kernels that bake a
+            # host-side row order (bdr's rating sort, the large-G scatter
+            # plan) are excluded there by dispatch itself.
+            static_rows=not stepwise,
         )
         if stats_fn is not None:
             kernel_tile = getattr(stats_fn, "tile_b", cfg.engine.tile_b)
@@ -191,24 +196,25 @@ def fit(
     else:
         kernel_tile = getattr(stats_fn, "tile_b", 0)
 
-    # The large-G kernel path scatters through a host-built sorted-block
-    # plan tied to one exact (padded, sharded) triplet array.  Stepwise EM
-    # reshuffles rows every epoch, which would invalidate the plan — fall
-    # back to the row-chunked jnp path there (the plan is built on the
-    # classic path below, after the stepwise branch, so a beyond-HBM
-    # stepwise run never materializes the padded dataset it would need).
-    stepwise = tcfg.minibatch > 0
-    if stepwise and getattr(stats_fn, "needs_plan", False):
-        log.log("backend", kernel="jnp", reason="large-G plan vs stepwise")
+    # Belt for explicitly-passed stats_fn: row-order-baking kernels cannot
+    # run stepwise (the plan/sort is tied to one exact padded row array).
+    if stepwise and (
+        getattr(stats_fn, "needs_plan", False)
+        or getattr(stats_fn, "needs_rsort", False)
+    ):
+        log.log("backend", kernel="jnp", reason="static row order vs stepwise")
         stats_fn = functools.partial(
             em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
         )
         kernel_tile = 0
 
     # Pad rows so every data shard is equal-length (and, on the kernel path,
-    # a multiple of the kernel tile); weight-0 rows are inert.
+    # a multiple of the kernel tile); weight-0 rows are inert.  The bdr
+    # path pads per rating class itself (rating_sort_pad), so it only
+    # needs shard alignment here.
+    needs_rsort = getattr(stats_fn, "needs_rsort", False)
     pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
-    if kernel_tile:
+    if kernel_tile and not needs_rsort:
         pad = _lcm(pad, data_size * kernel_tile)
 
     # Restart ensemble init (or resume).  The PRNG key only seeds the init —
@@ -293,11 +299,43 @@ def fit(
     # beyond-HBM datasets take the stepwise branch above.
     ds = train_ds.pad_to(pad)
     degrees = jnp.asarray(ds.degrees())
-    batch = Batch(
-        triplets=jnp.asarray(ds.triplets),
-        ratings=jnp.asarray(ds.ratings),
-        weights=jnp.asarray(ds.weights),
-    )
+    if needs_rsort:
+        # bdr path: per-shard stable rating sort + per-class tile padding;
+        # the kernel reads ratings from the prefetched tile table.
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+            apply_rating_sort,
+            rating_sort_pad,
+        )
+
+        rplan = rating_sort_pad(
+            np.asarray(ds.ratings),
+            ds.n_ratings,
+            tile=stats_fn.tile_b,
+            n_shards=data_size,
+        )
+        trip_s, rat_s, w_s = apply_rating_sort(
+            rplan,
+            np.asarray(ds.triplets),
+            np.asarray(ds.ratings),
+            np.asarray(ds.weights),
+            n_shards=data_size,
+        )
+        batch = Batch(
+            triplets=jnp.asarray(trip_s),
+            ratings=jnp.asarray(rat_s),
+            weights=jnp.asarray(w_s),
+            tile_rating=jnp.asarray(rplan.tile_r),
+        )
+        log.log(
+            "backend", kernel="pallas-bdr", tile_b=stats_fn.tile_b,
+            padded_rows=int(rplan.n_rows) * data_size,
+        )
+    else:
+        batch = Batch(
+            triplets=jnp.asarray(ds.triplets),
+            ratings=jnp.asarray(ds.ratings),
+            weights=jnp.asarray(ds.weights),
+        )
     if getattr(stats_fn, "needs_plan", False):
         from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
             make_scatter_plan,

@@ -44,9 +44,11 @@ def _code_fingerprint() -> str:
 
     import trigenicinteractionpredictor_tpu.ops.em as em_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em as pk_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em_bdr as bdr_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted as rs_mod
 
     h = hashlib.sha256()
-    for mod in (em_mod, pk_mod):
+    for mod in (em_mod, pk_mod, bdr_mod, rs_mod):
         with open(mod.__file__, "rb") as fh:
             h.update(fh.read())
     h.update(jax.__version__.encode())
@@ -145,6 +147,41 @@ def _probe_result(
                 ),
             ),
         )
+    if ok and platform == "tpu" and arity == 3:
+        # Probe the bdr kernel too — the default TPU dispatch since round
+        # 3 (ops/pallas_em_bdr.py) — through its rating-sorted batch prep.
+        from trigenicinteractionpredictor_tpu.ops.dispatch import _fit_bdr_tile
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bdr import (
+            bdr_em_ensemble_stats,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+            apply_rating_sort,
+            rating_sort_pad,
+        )
+
+        tile = _fit_bdr_tile(g, k, 512, 1)
+        if tile is not None:
+            rplan = rating_sort_pad(ratings, r, tile=tile, n_shards=1)
+            trip_s, rat_s, w_s = apply_rating_sort(
+                rplan, trip, ratings, weights
+            )
+            tile_r = jnp.asarray(rplan.tile_r)
+
+            def run_bdr(th, p, b):
+                out = bdr_em_ensemble_stats(
+                    th[None], p[None], b._replace(tile_rating=tile_r),
+                    tile_b=tile, interpret=False,
+                )
+                return jax.tree.map(lambda x: x[0], out)
+
+            dev_args = [
+                jax.device_put(jnp.asarray(a), dev)
+                for a in (theta_np, p_np, trip_s, rat_s, w_s)
+            ]
+            out = jax.jit(
+                lambda th, p, t, rr, w: run_bdr(th, p, Batch(t, rr, w))
+            )(*dev_args)
+            ok = check("bdr", [np.asarray(x) for x in out])
     return ok
 
 
