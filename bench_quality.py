@@ -112,7 +112,27 @@ def main() -> None:
         ratings=jnp.asarray(train.ratings),
         weights=jnp.asarray(train.weights),
     )
-    if getattr(stats_fn, "needs_plan", False):
+    if getattr(stats_fn, "needs_rsort", False):
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+            apply_rating_sort,
+            rating_sort_pad,
+        )
+
+        rplan = rating_sort_pad(
+            np.asarray(train.ratings), train.n_ratings,
+            tile=stats_fn.tile_b, n_shards=1,
+        )
+        t_, r_, w_ = apply_rating_sort(
+            rplan, np.asarray(train.triplets), np.asarray(train.ratings),
+            np.asarray(train.weights),
+        )
+        raw = Batch(
+            triplets=jnp.asarray(t_),
+            ratings=jnp.asarray(r_),
+            weights=jnp.asarray(w_),
+            tile_rating=jnp.asarray(rplan.tile_r),
+        )
+    elif getattr(stats_fn, "needs_plan", False):
         from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
             make_scatter_plan,
         )

@@ -82,6 +82,11 @@ def bdr_kernel_fits(
     # Mosaic evidently streams operands the naive residency sum says can't
     # fit (K=25/S=10 ran at t128 with a 37 MB mats sum), so this is an
     # envelope of measured-good shapes, not a residency model.
+    # K cap: K=25/50 shapes compile-probed OK at N=32k but threw remote-
+    # compile 500s at production N=131k (and wedged the relay connection,
+    # twice); K-grid configs keep the proven per-restart kernel path.
+    if k > 20:
+        return False
     tiled = 3 * tile_b * (n_genes + sk2) * 4
     wide = 3 * tile_b * sk2 * 4 + 7 * sk * sk2 * 4
     return tiled <= int(18.5e6) and wide <= int(23e6)
