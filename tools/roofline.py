@@ -57,6 +57,13 @@ def path_overhead_flops(path: str, g: int, k: int, s: int, wb: int | None) -> fl
         # sorted-stream scatter: ~3 value rows per data row (padding adds a
         # few %), one [Bt, wb] one-hot matmul each -> 6 wb K per update.
         return 6.0 * (wb or 512) * k
+    if path == "bdr":
+        # One-hot gather/scatter shared across the ensemble (6 G K per
+        # restart-update) + the block-diagonal overcompute: 7 ensemble-wide
+        # matmuls of 2*SK*SK2 FLOPs per data ROW; per restart-update that
+        # is 14*SK*SK2/S = 14*S*K^3 — the deliberate S-fold overcompute
+        # that buys S-independent matmul-invocation count.
+        return 6.0 * g * k + 14.0 * s * k**3
     raise ValueError(path)
 
 
@@ -66,7 +73,7 @@ def path_hbm_bytes(path: str, g: int, k: int, s: int, wb: int | None) -> float:
     pre-gathered/marginal [B, S*K] f32 arrays where they exist."""
     sk = s * k
     row_in = (3 + 1 + 1) * 4 / s          # trip + rating + weight
-    if path == "onehot":
+    if path in ("onehot", "bdr"):
         return row_in
     if path == "hybrid":
         # XLA gather writes th1..3 [B, SK]; kernel reads them back.
@@ -111,7 +118,7 @@ def analyze(rec: dict) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--from-jsonl", help="kernel_race.py output file")
-    ap.add_argument("--path", choices=["onehot", "hybrid", "plan"])
+    ap.add_argument("--path", choices=["onehot", "hybrid", "plan", "bdr"])
     ap.add_argument("--g", type=int)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--s", type=int, default=10)

@@ -96,12 +96,22 @@ def main() -> None:
                     exec(code, {"__name__": "__tpu_job__", "SHARED": SHARED})
                 status = "ok"
             except BaseException:
-                out.write("\n" + traceback.format_exc())
+                tb = traceback.format_exc()
+                out.write("\n" + tb)
                 status = "error"
+                # A kernel fault kills the relay-side TPU worker process and
+                # this client's device session with it — every later call
+                # fails UNAVAILABLE.  Exit so the operator restarts us with
+                # a fresh claim instead of burning the rest of the queue.
+                if "TPU worker process crashed" in tb:
+                    status = "device-lost"
             dt = time.perf_counter() - t0
             out.write(f"\n[worker] status={status} wall={dt:.1f}s\n")
         os.replace(src, os.path.join(ddir, name))
         print(f"[worker] {name}: {status} in {dt:.1f}s", flush=True)
+        if status == "device-lost":
+            print("[worker] device session lost — exiting for restart", flush=True)
+            return
     print("[worker] STOP seen; exiting", flush=True)
 
 

@@ -395,6 +395,34 @@ def _pallas_grouped_fn(tile_b: int, group: int) -> Callable:
     return fn
 
 
+def _pallas_bd_plan_fn(tile_b: int, n_genes: int) -> Callable:
+    """Large-G variant with the block-diagonal E-step: bd algebra between
+    the XLA gather and the sorted-block plan scatter (ops/pallas_em_bd.py).
+    Same Batch contract as the plan path (needs_plan).
+
+    NOT dispatched: at G=100k the compiled kernel FAULTS the relay-side
+    TPU worker process at runtime (observed twice, 2026-08-20 — every
+    subsequent call in the client session fails UNAVAILABLE), while the
+    per-restart plan path runs clean.  Kept for future investigation;
+    resolve_stats_fn keeps returning _pallas_large_fn for large G."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+        bd_em_ensemble_stats,
+    )
+
+    n_blocks = -(-n_genes // _LARGE_G_WB)
+    fn = functools.partial(
+        bd_em_ensemble_stats,
+        tile_b=tile_b,
+        wb=_LARGE_G_WB,
+        n_blocks=n_blocks,
+    )
+    fn.ensemble = True
+    fn.tile_b = tile_b
+    fn.wb = _LARGE_G_WB
+    fn.needs_plan = True
+    return fn
+
+
 def _pallas_large_fn(tile_b: int, n_genes: int) -> Callable:
     """Large-G ensemble path; requires a scatter plan on the Batch."""
     from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
