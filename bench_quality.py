@@ -57,6 +57,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("--freq", type=int, default=FREQ)
     ap.add_argument("--tol", type=float, default=TOL)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument(
+        "--alpha", type=float, default=0.2,
+        help="generator Dirichlet concentration.  NOTE: every alpha/G "
+        "combination at the N=131k production shape sits at or past the "
+        "MMSBM detection threshold (measured 2026-08-20: Bayes 0.55-0.62, "
+        "EM plateau 0.50-0.53 for alpha in {0.2, 0.5}, G in {200, 300, "
+        "1000} — consistent with the BASELINE.md landscape study), so "
+        "auc_final is a parity-tracking number, not a Bayes-recovery "
+        "target; the metric gates (a) seconds to reach the plateau and "
+        "(b) the plateau value itself.",
+    )
     return ap.parse_args(argv)
 
 
@@ -98,7 +109,8 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
     ds, theta_star, p_star = sample_synthetic_dataset(
-        n, g, k, n_ratings=R, alpha_theta=0.2, alpha_p=0.2, seed=0
+        n, g, k, n_ratings=R, alpha_theta=args.alpha, alpha_p=args.alpha,
+        seed=0,
     )
     train, test = train_test_split(ds, 0.2, seed=0)
     mesh = single_device_mesh()
@@ -227,7 +239,7 @@ def main() -> None:
                 "auc_final": round(auc_final, 4),
                 "auc_bayes": round(bayes, 4),
                 "sweeps_to_converged": sweeps_conv,
-                "shape": {"n": n, "g": g, "k": k, "s": s},
+                "shape": {"n": n, "g": g, "k": k, "s": s, "alpha": args.alpha},
             }
         )
     )

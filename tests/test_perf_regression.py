@@ -127,3 +127,27 @@ def test_large_g_throughput():
         f"G=100k throughput regressed: {result['value']:.3g} < {floor:.3g}; "
         f"bench stderr:\n{stderr[-1000:]}"
     )
+
+
+def test_time_to_converged_auc():
+    """The second north-star axis (BASELINE.json:2): post-compile seconds
+    until the ensemble held-out AUC reaches its converged plateau on the
+    production shape, plus the plateau value itself (parity tracking —
+    this config sits at the MMSBM detection threshold, see BASELINE.md)."""
+    q = RECORDS["quality"]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_quality.py")],
+        env=_TPU_ENV, capture_output=True, text=True, timeout=2700,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    ceiling = q["seconds_to_converged_auc"] * q["seconds_ceiling_factor"]
+    assert result["value"] <= ceiling, (
+        f"time-to-converged-AUC regressed: {result['value']:.3f}s > "
+        f"{ceiling:.3f}s (record {q['seconds_to_converged_auc']}s); "
+        f"stderr:\n{proc.stderr[-1000:]}"
+    )
+    assert abs(result["auc_final"] - q["auc_final"]) <= q["auc_band"], (
+        f"converged AUC moved: {result['auc_final']} vs record "
+        f"{q['auc_final']} +/- {q['auc_band']}"
+    )

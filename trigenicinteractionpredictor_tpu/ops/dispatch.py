@@ -88,8 +88,12 @@ def bdr_kernel_fits(
     if k > 20:
         return False
     tiled = 3 * tile_b * (n_genes + sk2) * 4
-    wide = 3 * tile_b * sk2 * 4 + 7 * sk * sk2 * 4
-    return tiled <= int(18.5e6) and wide <= int(23e6)
+    slabs = 3 * tile_b * sk2 * 4
+    wide = slabs + 7 * sk * sk2 * 4
+    # slabs cap: S=17/t512 (10.4 MB) failed the remote compile at
+    # N=131k while S=20/t256 (6.1 MB) and K=16/t256 (7.9 MB) run — 8 MB
+    # separates every measured OK from every measured FAIL.
+    return tiled <= int(18.5e6) and slabs <= int(8e6) and wide <= int(23e6)
 
 
 def _fit_bdr_tile(
