@@ -58,12 +58,13 @@ def path_overhead_flops(path: str, g: int, k: int, s: int, wb: int | None) -> fl
         # few %), one [Bt, wb] one-hot matmul each -> 6 wb K per update.
         return 6.0 * (wb or 512) * k
     if path == "bdr":
-        # One-hot gather/scatter shared across the ensemble (6 G K per
-        # restart-update) + the block-diagonal overcompute: 7 ensemble-wide
-        # matmuls of 2*SK*SK2 FLOPs per data ROW; per restart-update that
-        # is 14*SK*SK2/S = 14*S*K^3 — the deliberate S-fold overcompute
-        # that buys S-independent matmul-invocation count.
-        return 6.0 * g * k + 14.0 * s * k**3
+        # One-hot gather/scatter shared across the ensemble (6 matmuls x
+        # 2*G*SK per row / S updates = 12 G K per restart-update) + the
+        # block-diagonal overcompute: 7 ensemble-wide matmuls of 2*SK*SK2
+        # FLOPs per data ROW; per restart-update that is 14*SK*SK2/S =
+        # 14*S*K^3 — the deliberate S-fold overcompute that buys
+        # S-independent matmul-invocation count.
+        return 12.0 * g * k + 14.0 * s * k**3
     raise ValueError(path)
 
 

@@ -103,6 +103,7 @@ def _em_tile_kernel_bdr(
     *,
     k: int,
     n_samples: int,
+    group: int,
 ):
     i = pl.program_id(0)
     K, S = k, n_samples
@@ -130,12 +131,51 @@ def _em_tile_kernel_bdr(
     th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
     w = w_ref[:]
 
-    T = jnp.dot(th3_all, pm_ref[0], preferred_element_type=jnp.float32)
-    spread1 = jnp.dot(th1_all, e1_ref[:], preferred_element_type=jnp.float32)
-    spread2 = jnp.dot(th2_all, e2_ref[:], preferred_element_type=jnp.float32)
-
-    A1 = jnp.dot(T * spread2, e1t_ref[:], preferred_element_type=jnp.float32)
-    A2 = jnp.dot(T * spread1, e2t_ref[:], preferred_element_type=jnp.float32)
+    # The gK2-wide algebra runs per restart GROUP: the block-diagonal
+    # operands waste FLOPs quadratically in the group width, so sub-
+    # grouping trades overcompute against matmul-invocation count
+    # (group == S is one matmul per stage; group == 1 degenerates to the
+    # old per-restart loop).  Operand group blocks are static slices of
+    # the full block-diagonal matrices (everything off the (i, i) block
+    # of a group's slice is zero by construction).
+    nb = S // group
+    gK, gK2 = group * K, group * K * K
+    A1_parts, A2_parts, A3_parts, W_parts = [], [], [], []
+    pm = pm_ref[0]
+    pkk = pkk_ref[0]
+    for i in range(nb):
+        rsl = slice(i * gK, (i + 1) * gK)
+        csl = slice(i * gK2, (i + 1) * gK2)
+        th1_i = th1_all[:, rsl]
+        th2_i = th2_all[:, rsl]
+        th3_i = th3_all[:, rsl]
+        T_i = jnp.dot(
+            th3_i, pm[rsl, csl], preferred_element_type=jnp.float32
+        )
+        sp1_i = jnp.dot(
+            th1_i, e1_ref[rsl, csl], preferred_element_type=jnp.float32
+        )
+        sp2_i = jnp.dot(
+            th2_i, e2_ref[rsl, csl], preferred_element_type=jnp.float32
+        )
+        A1_parts.append(jnp.dot(
+            T_i * sp2_i, e1t_ref[csl, rsl], preferred_element_type=jnp.float32
+        ))
+        A2_parts.append(jnp.dot(
+            T_i * sp1_i, e2t_ref[csl, rsl], preferred_element_type=jnp.float32
+        ))
+        W_i = sp1_i * sp2_i
+        W_parts.append(W_i)
+        A3_parts.append(jnp.dot(
+            W_i, pkk[csl, rsl], preferred_element_type=jnp.float32
+        ))
+    if nb == 1:
+        A1, A2, A3g, W = A1_parts[0], A2_parts[0], A3_parts[0], W_parts[0]
+    else:
+        A1 = jnp.concatenate(A1_parts, axis=1)
+        A2 = jnp.concatenate(A2_parts, axis=1)
+        A3g = jnp.concatenate(A3_parts, axis=1)
+        W = jnp.concatenate(W_parts, axis=1)
 
     # Precision note (measured on-chip 2026-08-20): with the MXU's DEFAULT
     # bf16 operand passes the 60-sweep likelihood trace shows max drops of
@@ -151,8 +191,7 @@ def _em_tile_kernel_bdr(
     scale_S = w / (Dsum + _EPS)
     scale = jnp.dot(scale_S, kst_ref[:], preferred_element_type=jnp.float32)
 
-    W = spread1 * spread2
-    A3 = jnp.dot(W, pkk_ref[0], preferred_element_type=jnp.float32)
+    A3 = A3g
 
     s1 = th1_all * A1 * scale
     s2 = th2_all * A2 * scale
@@ -179,7 +218,9 @@ def _em_tile_kernel_bdr(
     ll_ref[:] += jnp.sum(ll_tile, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "group", "interpret")
+)
 def _pallas_stats_bdr(
     thetas: jax.Array,   # [S, G, K]
     ps: jax.Array,       # [S, K, K, K, R]
@@ -187,6 +228,7 @@ def _pallas_stats_bdr(
     weights: jax.Array,
     tile_r: jax.Array,   # int32 [n_tiles]
     tile_b: int = DEFAULT_TILE_B,
+    group: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     S, G, K = thetas.shape
@@ -202,7 +244,11 @@ def _pallas_stats_bdr(
     Pm_bd, Pkk_bd = _bdr_params(ps.astype(jnp.float32))
     E1, E2, KS, K2S = _bd_selectors(K, S)
 
-    kernel = functools.partial(_em_tile_kernel_bdr, k=K, n_samples=S)
+    group = group or S
+    assert S % group == 0, (S, group)
+    kernel = functools.partial(
+        _em_tile_kernel_bdr, k=K, n_samples=S, group=group
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -271,9 +317,14 @@ def bdr_em_ensemble_stats(
     batch: Batch,
     precision=None,      # signature compatibility; unused
     tile_b: int = DEFAULT_TILE_B,
+    group: int = 0,
     interpret: bool | None = None,
 ) -> SweepStats:
     """Whole-ensemble fused sweep: bd algebra x rating-sorted x one-hot.
+
+    ``group`` (default S): restart sub-group width for the block-diagonal
+    stages — smaller groups cut the quadratic overcompute at the cost of
+    more matmul invocations; must divide S.
 
     Requires ``batch.tile_rating`` and rows in rating_sort_pad order
     (ops/pallas_em_rsorted.rating_sort_pad / apply_rating_sort).
@@ -292,6 +343,7 @@ def bdr_em_ensemble_stats(
         batch.weights,
         batch.tile_rating,
         tile_b=tile_b,
+        group=group,
         interpret=interpret,
     )
     return SweepStats(theta_hat=theta_hat, p_hat=ps * s, loglik=ll)
