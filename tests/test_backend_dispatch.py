@@ -237,10 +237,14 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         # S=10 runs per-restart.  Asserted as-is; tools/kernel_race.py is
         # the place to decide if the pair-group should win below the cap.
         (1000, 50, 12, "grouped"),
-        # bdr has no lane-group cap (program size is S-independent): it
-        # takes S=17 directly; S=50 exceeds its VMEM envelope -> grouped.
+        # bdr has no lane-group cap (program size is S-independent), and
+        # since the per-group operand restack its VMEM no longer scales
+        # with S^2: S=17, S=50, S=100 all run as ONE kernel call
+        # (measured 2026-08-20: S=50 508M upd/s at t256/g10, S=100 489M
+        # at t128/g10 — vs 79M on the old grouped lax.map path).
         (1000, 10, 17, "bdr"),
-        (1000, 10, 50, "grouped"),      # wide ensemble
+        (1000, 10, 50, "bdr"),          # wide ensemble, single call
+        (1000, 10, 100, "bdr"),         # pod-scale ensemble width
         (4_000, 10, 10, "bdr"),         # bdr's G ceiling beats one-hot's
         (6_000, 10, 10, "bdr"),         # measured 102M vs hybrid's 78M
         (8_000, 10, 10, "bdr"),         # measured 87M; hybrid cannot fit
@@ -255,6 +259,21 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         assert got == expected, f"(G={g}, K={k}, S={s}): {got} != {expected}"
         if expected != "jnp":
             assert getattr(fn, "tile_b", 0) >= 128, (g, k, s)
+
+    # The measured group rule (tools/bdr_group_sweep.py): largest divisor
+    # of S with g*K <= 128 lanes; prime-ish S takes one wide group <= 256.
+    from trigenicinteractionpredictor_tpu.ops.dispatch import _pick_bdr_group
+
+    assert _pick_bdr_group(10, 10) == 10   # headline: one matmul per stage
+    assert _pick_bdr_group(20, 10) == 10   # S=20: 438M at g=10 vs 316M g=20
+    assert _pick_bdr_group(50, 10) == 10
+    assert _pick_bdr_group(100, 10) == 10
+    assert _pick_bdr_group(17, 10) == 17   # prime S: one wide group
+    assert _pick_bdr_group(10, 16) == 5    # 5*16=80 lanes <= 128
+    assert _pick_bdr_group(10, 20) == 5
+    for s_w, g_w in [(50, 10), (100, 10)]:
+        fn = resolve_stats_fn("auto", 1000, 10, n_samples=s_w)
+        assert getattr(fn, "bdr_group", 0) == g_w, (s_w, fn.bdr_group)
 
     # Stepwise (static_rows=False) excludes the row-order-baking kernels:
     # the headline shape falls back to the one-hot ensemble kernel, and

@@ -13,7 +13,7 @@ for the jnp row-chunk fallback (which needs no tile alignment).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,63 +58,89 @@ def _fit_tile(
     return None
 
 
-def bdr_kernel_fits(
-    n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1
-) -> bool:
-    """VMEM model for the bdr kernel (ops/pallas_em_bdr.py).
+def _pick_bdr_group(s: int, k: int) -> int:
+    """Restart sub-group width for the bdr kernel's block-diagonal stages.
 
-    Live set per tile: the scatter/gather one-hot trio (shared buffers —
-    Mosaic reuses them between the gather and scatter matmuls), ~3
-    concurrently-live [Bt, S*K^2] slabs (T/spreads die into A1/A2/W as the
-    schedule advances), the block-diagonal operand matrices, and the
-    G-sized theta/theta_hat pair.  Calibrated on-chip 2026-08-20:
-    G=1000/K=10/S=10/tile=512 runs (measured 230M upd/s); the probe job
-    (60_bdr_fit_probe) pins the boundary.
+    Measured rule (tools/bdr_group_sweep.py, on-chip 2026-08-20): per-stage
+    matmul width g*K wants to sit at-or-under the 128-lane MXU — S=20/K=10
+    runs 438M upd/s at g=10 (100 lanes) vs 316M at g=20 (200 lanes), while
+    g=10 vs g=5 at S=10 is a tie (427M vs 430M) and g<=2 loses to
+    invocation latency (394M/383M).  So: the largest divisor of S with
+    g*K <= 128; if only tiny groups divide S (prime-ish S), one wide group
+    up to 256 lanes still beats a per-restart loop.
+    """
+    s = max(s, 1)
+    divs = [g for g in range(1, s + 1) if s % g == 0]
+    good = [g for g in divs if g * k <= 128]
+    best = max(good) if good else 1
+    if best * k < 64:
+        wide = [g for g in divs if g * k <= 256]
+        if wide:
+            best = max(wide)
+    return best
+
+
+def bdr_kernel_fits(
+    n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1,
+    group: int = 0,
+) -> bool:
+    """VMEM envelope for the bdr kernel (ops/pallas_em_bdr.py).
+
+    Second calibration (on-chip 2026-08-20, after the per-group operand
+    restack): operands arrive as nb stacked [gK, gK2] diagonal blocks and
+    ONE shared selector block, so operand VMEM no longer scales with S^2
+    and wide ensembles (S=50, S=100) run as a single call.
+    Measured-good: t512/S10/g10 (426M upd/s), t256/S50/g10 (508M),
+    t128/S100/g10 (489M), t256/S20/g10 (438M), t256/S20/g20.
+    Measured-bad: t512/S50/g10 (scoped VMEM +12.75M over the 16M limit),
+    t256/S100/g10 (+8.39M).  This is an envelope of measured shapes, not
+    a residency model — Mosaic streams more than a naive sum admits.
+    K cap: K=25/50 shapes compile-probed OK at N=32k but threw remote-
+    compile 500s at production N=131k (and wedged the relay connection,
+    twice); K-grid configs keep the proven per-restart kernel path.
     """
     s = max(n_samples, 1)
-    sk, sk2 = s * k, s * k * k
-    # Two constraints calibrated against the 60_bdr_fit_probe on-chip grid
-    # (2026-08-20; 12 shapes x tile, compile+run):
-    # 1. tile-scaled buffers (one-hots + SK2 slabs): t512 passes at
-    #    G=2000/S=10 (18.4 MB) and fails at G=3000 (24.6 MB).
-    # 2. wide-ensemble envelope (slabs + the 6 block-diag operand mats +
-    #    cross): S=24 runs at t128 (19.8 MB) and fails at t256 (23.5 MB).
-    # Mosaic evidently streams operands the naive residency sum says can't
-    # fit (K=25/S=10 ran at t128 with a 37 MB mats sum), so this is an
-    # envelope of measured-good shapes, not a residency model.
-    # K cap: K=25/50 shapes compile-probed OK at N=32k but threw remote-
-    # compile 500s at production N=131k (and wedged the relay connection,
-    # twice); K-grid configs keep the proven per-restart kernel path.
+    g = group or _pick_bdr_group(s, k)
+    k2 = k * k
+    gk2 = g * k2
     if k > 20:
         return False
-    tiled = 3 * tile_b * (n_genes + sk2) * 4
-    slabs = 3 * tile_b * sk2 * 4
-    wide = slabs + 7 * sk * sk2 * 4
-    # slabs cap: S=17/t512 (10.4 MB) failed the remote compile at
-    # N=131k while S=20/t256 (6.1 MB) and K=16/t256 (7.9 MB) run — 8 MB
-    # separates every measured OK from every measured FAIL.
-    return tiled <= int(18.5e6) and slabs <= int(8e6) and wide <= int(23e6)
+    # 1. tile-scaled one-hot trio + the G-sized theta/theta_hat pair:
+    #    G=2000/t512 measured OK, G=3000/t512 OOM (round-3 first probe).
+    tiled = 3 * tile_b * n_genes * 4 + 2 * n_genes * s * k * 4
+    # 2. ensemble working set: retained per-group W slabs (t*S*K2 total
+    #    across groups), ~8 [t, SK]-wide streams (th/A/scale/s), 3 live
+    #    [t, gK2] slabs.  12.3M passes (t256/S50), 21.5M fails (t256/S100).
+    ens = (tile_b * s * k2 + 8 * tile_b * s * k + 3 * tile_b * gk2) * 4
+    # 3. operand stacks (Pm+Pkk rating blocks) + the cross output block:
+    #    12M measured OK at S=100/g=10; no measured failure yet, so the
+    #    cap is conservative headroom, not a pinned boundary.
+    mats = (2 * s * k * gk2 + s * k2 * g * k) * 4
+    return tiled <= int(20e6) and ens <= int(13e6) and mats <= int(16e6)
 
 
 def _fit_bdr_tile(
-    n_genes: int, k: int, tile_b: int, n_samples: int = 1
-) -> Optional[int]:
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0
+) -> Optional[Tuple[int, int]]:
+    """Largest (tile, group) the bdr envelope admits, or None."""
+    g = group or _pick_bdr_group(max(n_samples, 1), k)
     t = tile_b
     while t >= 128:
-        if bdr_kernel_fits(n_genes, k, t, n_samples):
-            return t
+        if bdr_kernel_fits(n_genes, k, t, n_samples, group=g):
+            return t, g
         t //= 2
     return None
 
 
-def _pallas_bdr_fn(tile_b: int) -> Callable:
+def _pallas_bdr_fn(tile_b: int, group: int = 0) -> Callable:
     from trigenicinteractionpredictor_tpu.ops.pallas_em_bdr import (
         bdr_em_ensemble_stats,
     )
 
-    fn = functools.partial(bdr_em_ensemble_stats, tile_b=tile_b)
+    fn = functools.partial(bdr_em_ensemble_stats, tile_b=tile_b, group=group)
     fn.ensemble = True
     fn.tile_b = tile_b
+    fn.bdr_group = group
     fn.needs_rsort = True  # trainer sorts rows by rating + attaches tile_rating
     return fn
 
@@ -204,6 +230,7 @@ def resolve_stats_fn(
     arity: int = 3,
     n_samples: int = 1,
     static_rows: bool = True,
+    bdr_group: int = 0,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
@@ -216,6 +243,10 @@ def resolve_stats_fn(
     excludes the kernels that precompute a host-side row order — the
     rating-sorted bdr kernel and the large-G scatter-plan path — leaving
     the order-free one-hot/hybrid family.
+
+    ``bdr_group`` (default 0 = full-S) overrides the bdr kernel's restart
+    sub-group width (tools/bdr_group_sweep.py measures the frontier;
+    must divide n_samples).
     """
     if backend in (None, "", "jnp") or arity != 3:
         if backend not in (None, "", "jnp", "auto", "pallas"):
@@ -231,11 +262,12 @@ def resolve_stats_fn(
     # unlike the one-hot family it takes any ensemble width its VMEM
     # envelope admits — no lane-group cap.
     if static_rows:
-        tile_bdr = _fit_bdr_tile(n_genes, k, tile_b, n_samples)
-        if tile_bdr is not None and (
+        fit = _fit_bdr_tile(n_genes, k, tile_b, n_samples, group=bdr_group)
+        if fit is not None and (
             backend == "pallas" or jax.default_backend() == "tpu"
         ):
-            return _pallas_bdr_fn(tile_bdr)
+            tile_bdr, group_bdr = fit
+            return _pallas_bdr_fn(tile_bdr, group=group_bdr)
     # The ensemble kernel unrolls the per-restart algebra in its tile body;
     # very wide ensembles both exceed VMEM and blow up the Mosaic program
     # (S=50 crashes the compile helper).  Cap the lane-stacked group and

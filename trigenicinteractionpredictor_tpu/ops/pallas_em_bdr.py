@@ -59,24 +59,33 @@ _EPS = 1e-30
 DEFAULT_TILE_B = 256
 
 
-def _bdr_params(ps: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Rating-row-blocked block-diagonal p views (rebuilt per sweep in XLA).
+def _bdr_params(
+    ps: jax.Array, group: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-GROUP block-diagonal p views (rebuilt per sweep in XLA).
 
-    Pm_bd  [R*S*K, S*K^2]: row (r, s, m); col (s', (k,l)); p[s,k,l,m,r] on
-    the s == s' diagonal.  Pkk_bd [R*S*K^2, S*K]: row (r, s, (k,l)); col
-    (s', m).
+    Only the (s == s') diagonal blocks of the full [SK, SK2] block-diagonal
+    operands are ever multiplied, so the kernel takes an nb-stack of
+    per-group blocks instead — an nb-fold VMEM cut that makes wide
+    ensembles (S ~ 50) fit a single call.
+
+    Pm_bd  [R, nb, gK, gK2]: block gi has row (s, m), col (s', (k,l)) for
+    the restarts in group gi, p[s,k,l,m,r] on the within-group diagonal.
+    Pkk_bd [R, nb, gK2, gK] likewise.
     """
     S, K = ps.shape[0], ps.shape[1]
     R = ps.shape[-1]
     K2 = K * K
-    p_rskl_m = jnp.transpose(ps, (4, 0, 3, 1, 2)).reshape(R, S, K, K2)
-    eye = jnp.eye(S, dtype=ps.dtype)
-    # Pm_bd[(r,s,m), (t,(k,l))] = p_rskl_m[r, s, m, kl] * eye[s, t]
-    pm = jnp.einsum("rsmc,st->rsmtc", p_rskl_m, eye)
-    Pm_bd = pm.reshape(R, S * K, S * K2)
-    p_rsklm = jnp.transpose(ps, (4, 0, 1, 2, 3)).reshape(R, S, K2, K)
-    pk = jnp.einsum("rscm,st->rsctm", p_rsklm, eye)
-    Pkk_bd = pk.reshape(R, S * K2, S * K)
+    g = group
+    nb = S // g
+    p_rskl_m = jnp.transpose(ps, (4, 0, 3, 1, 2)).reshape(R, nb, g, K, K2)
+    eye = jnp.eye(g, dtype=ps.dtype)
+    # Pm_bd[r, n, (s,m), (t,(k,l))] = p_rskl_m[r, n, s, m, kl] * eye[s, t]
+    pm = jnp.einsum("rnsmc,st->rnsmtc", p_rskl_m, eye)
+    Pm_bd = pm.reshape(R, nb, g * K, g * K2)
+    p_rsklm = jnp.transpose(ps, (4, 0, 1, 2, 3)).reshape(R, nb, g, K2, K)
+    pk = jnp.einsum("rnscm,st->rnsctm", p_rsklm, eye)
+    Pkk_bd = pk.reshape(R, nb, g * K2, g * K)
     return Pm_bd, Pkk_bd
 
 
@@ -87,18 +96,18 @@ def _em_tile_kernel_bdr(
     trip_ref,      # int32 [Bt, 3]
     w_ref,         # f32  [Bt, 1]
     theta_ref,     # f32  [G, S*K]
-    pm_ref,        # f32  [1, S*K, S*K2]   this rating's block-diag slice
-    pkk_ref,       # f32  [1, S*K2, S*K]   (leading rating dim blocked to 1)
-    e1_ref,        # f32  [S*K, S*K2]    block-diag spread
-    e2_ref,        # f32  [S*K, S*K2]
-    e1t_ref,       # f32  [S*K2, S*K]
-    e2t_ref,       # f32  [S*K2, S*K]
-    ks_ref,        # f32  [S*K, S]
-    kst_ref,       # f32  [S, S*K]
-    k2s_ref,       # f32  [S, S*K2]
+    pm_ref,        # f32  [1, nb, gK, gK2]  this rating's per-group blocks
+    pkk_ref,       # f32  [1, nb, gK2, gK]  (leading rating dim blocked to 1)
+    e1_ref,        # f32  [gK, gK2]  ONE group's spread selector (shared)
+    e2_ref,        # f32  [gK, gK2]
+    e1t_ref,       # f32  [gK2, gK]
+    e2t_ref,       # f32  [gK2, gK]
+    ks_ref,        # f32  [gK, g]
+    kst_ref,       # f32  [g, gK]
+    k2s_ref,       # f32  [g, gK2]
     # outputs
     theta_hat_ref,  # f32 [G, S*K] — VMEM accumulator
-    cross_ref,      # f32 [1, S*K2, S*K] — this rating's p-stat cross block
+    cross_ref,      # f32 [1, S*K2, gK] — this rating's p-stat cross blocks
     ll_ref,         # f32 [1, S] — VMEM row accumulator
     *,
     k: int,
@@ -135,47 +144,55 @@ def _em_tile_kernel_bdr(
     # operands waste FLOPs quadratically in the group width, so sub-
     # grouping trades overcompute against matmul-invocation count
     # (group == S is one matmul per stage; group == 1 degenerates to the
-    # old per-restart loop).  Operand group blocks are static slices of
-    # the full block-diagonal matrices (everything off the (i, i) block
-    # of a group's slice is zero by construction).
+    # old per-restart loop).  Operands arrive as an nb-stack of per-group
+    # diagonal blocks (pm_ref[0, gi]) — never the full [SK, SK2]
+    # block-diagonal matrix, whose off-group blocks are all zero — and
+    # the selector matrices are a SINGLE group's block, identical for
+    # every group.  VMEM for operands is therefore nb-fold smaller than
+    # the naive layout, which is what lets wide ensembles (S ~ 50) run
+    # as one kernel call.
     nb = S // group
     gK, gK2 = group * K, group * K * K
-    A1_parts, A2_parts, A3_parts, W_parts = [], [], [], []
-    pm = pm_ref[0]
-    pkk = pkk_ref[0]
-    for i in range(nb):
-        rsl = slice(i * gK, (i + 1) * gK)
-        csl = slice(i * gK2, (i + 1) * gK2)
+    A1_parts, A2_parts, A3_parts, W_parts, D_parts = [], [], [], [], []
+    e1 = e1_ref[:]
+    e2 = e2_ref[:]
+    e1t = e1t_ref[:]
+    e2t = e2t_ref[:]
+    ks = ks_ref[:]
+    # NB: do not name the loop variable ``i`` — it would shadow the grid
+    # index read at the top (used by first_of_block above, but shadowing
+    # invites exactly that bug on the next edit).
+    for gi in range(nb):
+        rsl = slice(gi * gK, (gi + 1) * gK)
         th1_i = th1_all[:, rsl]
         th2_i = th2_all[:, rsl]
         th3_i = th3_all[:, rsl]
         T_i = jnp.dot(
-            th3_i, pm[rsl, csl], preferred_element_type=jnp.float32
+            th3_i, pm_ref[0, gi], preferred_element_type=jnp.float32
         )
-        sp1_i = jnp.dot(
-            th1_i, e1_ref[rsl, csl], preferred_element_type=jnp.float32
+        sp1_i = jnp.dot(th1_i, e1, preferred_element_type=jnp.float32)
+        sp2_i = jnp.dot(th2_i, e2, preferred_element_type=jnp.float32)
+        A1_i = jnp.dot(
+            T_i * sp2_i, e1t, preferred_element_type=jnp.float32
         )
-        sp2_i = jnp.dot(
-            th2_i, e2_ref[rsl, csl], preferred_element_type=jnp.float32
-        )
-        A1_parts.append(jnp.dot(
-            T_i * sp2_i, e1t_ref[csl, rsl], preferred_element_type=jnp.float32
-        ))
+        A1_parts.append(A1_i)
         A2_parts.append(jnp.dot(
-            T_i * sp1_i, e2t_ref[csl, rsl], preferred_element_type=jnp.float32
+            T_i * sp1_i, e2t, preferred_element_type=jnp.float32
         ))
         W_i = sp1_i * sp2_i
         W_parts.append(W_i)
         A3_parts.append(jnp.dot(
-            W_i, pkk[csl, rsl], preferred_element_type=jnp.float32
+            W_i, pkk_ref[0, gi], preferred_element_type=jnp.float32
         ))
+        D_parts.append(jnp.dot(
+            th1_i * A1_i, ks, preferred_element_type=jnp.float32
+        ))                                                   # [Bt, g]
     if nb == 1:
-        A1, A2, A3g, W = A1_parts[0], A2_parts[0], A3_parts[0], W_parts[0]
+        A1, A2, A3g = A1_parts[0], A2_parts[0], A3_parts[0]
     else:
         A1 = jnp.concatenate(A1_parts, axis=1)
         A2 = jnp.concatenate(A2_parts, axis=1)
         A3g = jnp.concatenate(A3_parts, axis=1)
-        W = jnp.concatenate(W_parts, axis=1)
 
     # Precision note (measured on-chip 2026-08-20): with the MXU's DEFAULT
     # bf16 operand passes the 60-sweep likelihood trace shows max drops of
@@ -185,11 +202,25 @@ def _em_tile_kernel_bdr(
     # Forcing HIGHEST on the scale-chain matmuls only shrank the drop to
     # -28 nats while costing 30% throughput (4.35 vs 3.34 ms/sweep), so
     # DEFAULT stays.
-    Dsum = jnp.dot(
-        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32,
+    Dsum = (
+        D_parts[0] if nb == 1 else jnp.concatenate(D_parts, axis=1)
     )                                                       # [Bt, S]
     scale_S = w / (Dsum + _EPS)
-    scale = jnp.dot(scale_S, kst_ref[:], preferred_element_type=jnp.float32)
+    kst = kst_ref[:]
+    if nb == 1:
+        scale = jnp.dot(scale_S, kst, preferred_element_type=jnp.float32)
+    else:
+        scale = jnp.concatenate(
+            [
+                jnp.dot(
+                    scale_S[:, gi * group : (gi + 1) * group],
+                    kst,
+                    preferred_element_type=jnp.float32,
+                )
+                for gi in range(nb)
+            ],
+            axis=1,
+        )                                                   # [Bt, SK]
 
     A3 = A3g
 
@@ -197,9 +228,28 @@ def _em_tile_kernel_bdr(
     s2 = th2_all * A2 * scale
     s3 = th3_all * A3 * scale
 
-    scale2 = jnp.dot(scale_S, k2s_ref[:], preferred_element_type=jnp.float32)
-    V = W * scale2
-    contrib = jnp.dot(V.T, th3_all, preferred_element_type=jnp.float32)
+    # Cross p-stats run per group too: only the within-restart diagonal
+    # blocks of [SK2, SK] are ever read, so each group needs just its
+    # [gK2, gK] cross — an S/group-fold FLOP cut on the single biggest
+    # matmul (2*Bt*S^2*K^3 at full width), and it kills the full-width W
+    # concat.  The nb group blocks stack along rows: out is [SK2, gK].
+    k2s = k2s_ref[:]
+    contrib_parts = []
+    for gi in range(nb):
+        rsl = slice(gi * gK, (gi + 1) * gK)
+        scale2_i = jnp.dot(
+            scale_S[:, gi * group : (gi + 1) * group],
+            k2s,
+            preferred_element_type=jnp.float32,
+        )                                                   # [Bt, gK2]
+        V_i = W_parts[gi] * scale2_i
+        contrib_parts.append(jnp.dot(
+            V_i.T, th3_all[:, rsl], preferred_element_type=jnp.float32
+        ))
+    contrib = (
+        contrib_parts[0] if nb == 1
+        else jnp.concatenate(contrib_parts, axis=0)
+    )
 
     @pl.when(first_of_block)
     def _set():
@@ -241,11 +291,14 @@ def _pallas_stats_bdr(
     SK, SK2 = S * K, S * K2
 
     theta_all = jnp.transpose(thetas, (1, 0, 2)).reshape(G, SK)
-    Pm_bd, Pkk_bd = _bdr_params(ps.astype(jnp.float32))
-    E1, E2, KS, K2S = _bd_selectors(K, S)
-
     group = group or S
     assert S % group == 0, (S, group)
+    nb = S // group
+    gK, gK2 = group * K, group * K2
+    Pm_bd, Pkk_bd = _bdr_params(ps.astype(jnp.float32), group)
+    # Selector blocks are identical for every group — pass ONE group's.
+    E1, E2, KS, K2S = _bd_selectors(K, group)
+
     kernel = functools.partial(
         _em_tile_kernel_bdr, k=K, n_samples=S, group=group
     )
@@ -256,19 +309,19 @@ def _pallas_stats_bdr(
             pl.BlockSpec((tile_b, 3), lambda i, tr: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i, tr: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SK, SK2), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SK2, SK), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SK, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SK, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SK2, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SK2, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SK, S), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, SK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, gK, gK2), lambda i, tr: (tr[i], 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, gK2, gK), lambda i, tr: (tr[i], 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gK, gK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gK, gK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gK2, gK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gK2, gK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gK, group), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, gK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, gK2), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((G, SK), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SK2, SK), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SK2, gK), lambda i, tr: (tr[i], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i, tr: (0, 0), memory_space=pltpu.VMEM),
         ],
     )
@@ -277,11 +330,11 @@ def _pallas_stats_bdr(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, SK), jnp.float32),
-            jax.ShapeDtypeStruct((R, SK2, SK), jnp.float32),
+            jax.ShapeDtypeStruct((R, SK2, gK), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (6 * G * SK + 7 * SK2 * SK) // 1,
+            flops=2 * B * (6 * G * SK + 7 * nb * gK2 * gK) // 1,
             bytes_accessed=B * (3 * 4 + 4) + G * SK * 4 * 2,
             transcendentals=B * S,
         ),
@@ -302,9 +355,13 @@ def _pallas_stats_bdr(
         jnp.asarray(K2S),
     )
     theta_hat = jnp.transpose(theta_hat.reshape(G, S, K), (1, 0, 2))
-    # cross rows (r, s, (k,l)), cols (s', m): take the s == s' diagonal.
-    cross6 = cross.reshape(R, S, K2, S, K)
-    s_diag = cross6[:, jnp.arange(S), :, jnp.arange(S), :]   # [S, R, K2, K]
+    # cross is nb row-stacked per-group blocks; within block gi the rows
+    # are (s, (k,l)) for s in gi's group and cols (s', m) likewise — take
+    # the within-group s == s' diagonal (advanced indexing on the two
+    # group axes puts that dim first: [group, R, nb, K2, K]).
+    cross6 = cross.reshape(R, nb, group, K2, group, K)
+    g_diag = cross6[:, :, jnp.arange(group), :, jnp.arange(group), :]
+    s_diag = jnp.transpose(g_diag, (2, 0, 1, 3, 4)).reshape(S, R, K2, K)
     s_stats = jnp.transpose(
         s_diag.reshape(S, R, K, K, K), (0, 2, 3, 4, 1)
     )                                                        # [S, K, K, K, R]

@@ -159,7 +159,8 @@ def _probe_result(
             rating_sort_pad,
         )
 
-        tile = _fit_bdr_tile(g, k, 512, 1)
+        fit = _fit_bdr_tile(g, k, 512, 1)
+        tile = fit[0] if fit is not None else None
         if tile is not None:
             rplan = rating_sort_pad(ratings, r, tile=tile, n_shards=1)
             trip_s, rat_s, w_s = apply_rating_sort(
