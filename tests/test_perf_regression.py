@@ -97,6 +97,22 @@ def test_headline_ensemble_throughput_and_target():
     assert s1 >= floor1, f"S=1 throughput regressed: {s1:.3g} < {floor1:.3g}"
 
 
+def test_wide_ensemble_throughput():
+    """S=50 x K=10 (single-call bdr after the per-group operand restack):
+    >= 0.7x of the recorded 506M updates/s.  Guards both the wide-S VMEM
+    envelope (a silent fall-through to the old lax.map path would show as
+    a ~6x cliff to ~79M) and the group-picker rule."""
+    result, stderr = _run_bench(["-s", "50", "--sweeps", "60"], timeout=1800)
+    assert "bdr rating-sort" in stderr, (
+        f"S=50 did not dispatch to the bdr kernel:\n{stderr[-1000:]}"
+    )
+    floor = RECORDS["floor_fraction"] * RECORDS["records"]["wide_s50_k10"]
+    assert result["value"] >= floor, (
+        f"S=50 throughput regressed: {result['value']:.3g} < {floor:.3g}; "
+        f"bench stderr:\n{stderr[-1000:]}"
+    )
+
+
 def test_large_k_throughput():
     """K=50 x S=10 (grouped/serial-restart kernel regime): >= 0.7x of the
     recorded 21.7M updates/s."""
