@@ -91,10 +91,15 @@ def bdr_kernel_fits(
     ONE shared selector block, so operand VMEM no longer scales with S^2
     and wide ensembles (S=50, S=100) run as a single call.
     Measured-good: t512/S10/g10 (426M upd/s), t256/S50/g10 (508M),
-    t128/S100/g10 (489M), t256/S20/g10 (438M), t256/S20/g20.
+    t128/S100/g10 (489M), t256/S20/g10 (438M), t256/S20/g20,
+    t256/K16/g5 (174M), t256/K20/g5 (137M).
     Measured-bad: t512/S50/g10 (scoped VMEM +12.75M over the 16M limit),
-    t256/S100/g10 (+8.39M).  This is an envelope of measured shapes, not
-    a residency model — Mosaic streams more than a naive sum admits.
+    t256/S100/g10 (+8.39M), and t256/K20/g2 (+2.29M — NOTE: smaller
+    groups are not monotonically cheaper; many-group concat pressure can
+    exceed a wider group's slabs, so a forced bdr_group below the picked
+    one may OOM inside this envelope).  This is an envelope of measured
+    shapes, not a residency model — Mosaic streams more than a naive sum
+    admits.
     K cap: K=25/50 shapes compile-probed OK at N=32k but threw remote-
     compile 500s at production N=131k (and wedged the relay connection,
     twice); K-grid configs keep the proven per-restart kernel path.
