@@ -60,12 +60,25 @@ def path_overhead_flops(path: str, g: int, k: int, s: int, wb: int | None) -> fl
     if path == "bdr":
         # One-hot gather/scatter shared across the ensemble (6 matmuls x
         # 2*G*SK per row / S updates = 12 G K per restart-update) + the
-        # block-diagonal overcompute: 7 ensemble-wide matmuls of 2*SK*SK2
-        # FLOPs per data ROW; per restart-update that is 14*SK*SK2/S =
-        # 14*S*K^3 — the deliberate S-fold overcompute that buys
-        # S-independent matmul-invocation count.
-        return 12.0 * g * k + 14.0 * s * k**3
+        # block-diagonal overcompute, now at the sub-group width gr
+        # (ops/dispatch._pick_bdr_group; gr == S pre-restack): the six
+        # gK2-wide stages cost 12*gr*K^3 per restart-update and the
+        # per-group cross 2*gr*K^3 — group-fold, not S-fold, overcompute.
+        gr = _pick_group(s, k)
+        return 12.0 * g * k + 14.0 * gr * k**3
     raise ValueError(path)
+
+
+def _pick_group(s: int, k: int) -> int:
+    try:
+        sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+        from trigenicinteractionpredictor_tpu.ops.dispatch import (
+            _pick_bdr_group,
+        )
+
+        return _pick_bdr_group(s, k)
+    except Exception:
+        return s
 
 
 def path_hbm_bytes(path: str, g: int, k: int, s: int, wb: int | None) -> float:
