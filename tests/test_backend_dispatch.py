@@ -284,6 +284,15 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
                                     static_rows=False)) == "hybrid"
     assert kind_of(resolve_stats_fn("auto", 100_000, 10, n_samples=10,
                                     static_rows=False)) == "jnp"
+    # ... unless the caller re-sorts each minibatch itself
+    # (minibatch_rsort=True — the stepwise trainer does): bdr returns,
+    # while the whole-dataset scatter-plan path stays excluded.
+    assert kind_of(resolve_stats_fn("auto", 1000, 10, n_samples=10,
+                                    static_rows=False,
+                                    minibatch_rsort=True)) == "bdr"
+    assert kind_of(resolve_stats_fn("auto", 100_000, 10, n_samples=10,
+                                    static_rows=False,
+                                    minibatch_rsort=True)) == "jnp"
 
 
 def test_resolved_kernels_carry_tile_b():

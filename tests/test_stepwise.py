@@ -210,3 +210,68 @@ def test_classic_resume_equivalence(tmp_path):
     np.testing.assert_allclose(
         resumed.final_loglik, full.final_loglik, rtol=1e-6
     )
+
+
+def test_stepwise_bdr_matches_jnp():
+    """Stepwise + bdr kernel: the trainer rating-sorts every minibatch of
+    the epoch into a fixed padded layout, so the rating-sorted kernel is
+    numerically identical to the unsorted jnp path (order within a
+    minibatch is free — the EMA update consumes only the minibatch's
+    summed statistics; class padding is weight-0)."""
+    from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
+
+    ds, _, _ = sample_synthetic_dataset(2048, 30, 3, seed=11)
+    mk = lambda: Config(  # noqa: E731
+        train=TrainConfig(
+            k=3, sweeps=6, samples=2, likelihood_freq=2, minibatch=512
+        ),
+        engine=EngineConfig(batch_pad_multiple=512),
+    )
+    ref = fit(mk(), ds)
+
+    stats_fn = resolve_stats_fn(
+        "pallas", ds.n_genes, 3, n_samples=2,
+        static_rows=False, minibatch_rsort=True,
+    )
+    assert getattr(stats_fn, "needs_rsort", False), "expected the bdr kernel"
+    out = fit(mk(), ds, stats_fn=stats_fn)
+
+    np.testing.assert_allclose(
+        np.asarray(out.states.theta), np.asarray(ref.states.theta),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.states.p), np.asarray(ref.states.p), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ll_trace), np.asarray(ref.ll_trace), rtol=1e-4
+    )
+
+
+def test_stepwise_bdr_streaming_groups_exact():
+    """stream_groups must not change the stepwise-bdr result: the EMA
+    sequence depends only on the carried counter and per-minibatch sums,
+    which the per-group rating sort preserves."""
+    from trigenicinteractionpredictor_tpu.ops.dispatch import resolve_stats_fn
+
+    ds, _, _ = sample_synthetic_dataset(2048, 30, 3, seed=12)
+    stats_fn = resolve_stats_fn(
+        "pallas", ds.n_genes, 3, n_samples=2,
+        static_rows=False, minibatch_rsort=True,
+    )
+    mk = lambda sg: Config(  # noqa: E731
+        train=TrainConfig(
+            k=3, sweeps=4, samples=2, likelihood_freq=2, minibatch=512,
+            stream_groups=sg,
+        ),
+        engine=EngineConfig(batch_pad_multiple=512),
+    )
+    mono = fit(mk(0), ds, stats_fn=stats_fn)
+    strm = fit(mk(2), ds, stats_fn=stats_fn)
+    np.testing.assert_allclose(
+        np.asarray(strm.states.theta), np.asarray(mono.states.theta),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(strm.states.p), np.asarray(mono.states.p), atol=1e-5
+    )

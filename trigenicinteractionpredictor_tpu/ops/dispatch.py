@@ -236,6 +236,7 @@ def resolve_stats_fn(
     n_samples: int = 1,
     static_rows: bool = True,
     bdr_group: int = 0,
+    minibatch_rsort: bool = False,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
@@ -252,6 +253,12 @@ def resolve_stats_fn(
     ``bdr_group`` (default 0 = full-S) overrides the bdr kernel's restart
     sub-group width (tools/bdr_group_sweep.py measures the frontier;
     must divide n_samples).
+
+    ``minibatch_rsort`` says the caller re-sorts every minibatch by
+    rating itself (the stepwise trainer does, per epoch) — the bdr
+    kernel then stays eligible even with ``static_rows=False``; the
+    large-G scatter-plan path stays excluded either way (its plan is
+    tied to one whole-dataset row array).
     """
     if backend in (None, "", "jnp") or arity != 3:
         if backend not in (None, "", "jnp", "auto", "pallas"):
@@ -266,7 +273,7 @@ def resolve_stats_fn(
     # Mosaic program size is S-INDEPENDENT (no unrolled restart loop), so
     # unlike the one-hot family it takes any ensemble width its VMEM
     # envelope admits — no lane-group cap.
-    if static_rows:
+    if static_rows or minibatch_rsort:
         fit = _fit_bdr_tile(n_genes, k, tile_b, n_samples, group=bdr_group)
         if fit is not None and (
             backend == "pallas" or jax.default_backend() == "tpu"

@@ -59,6 +59,7 @@ def rating_sort_pad(
     n_ratings: int,
     tile: int = DEFAULT_TILE_B,
     n_shards: int = 1,
+    n_tiles: int = 0,
 ) -> RatingSortPlan:
     """Stable-sort rows by rating per shard; pad classes to tile multiples.
 
@@ -67,6 +68,11 @@ def rating_sort_pad(
     the padded arrays with :func:`apply_rating_sort`).  Every rating class
     gets at least one tile so its p-stat accumulator block is always
     initialized.  Shards are padded to a common length.
+
+    ``n_tiles`` (optional) forces a per-shard tile count — callers that
+    sort many same-size row sets into one fixed layout (the stepwise
+    trainer sorts every minibatch of an epoch) pass the worst case
+    ``ceil(B / tile) + n_ratings`` so all plans share one shape.
     """
     N = ratings.shape[0]
     assert N % n_shards == 0, (N, n_shards)
@@ -90,7 +96,13 @@ def rating_sort_pad(
             start += c
         per_shard.append((np.concatenate(o_parts), np.asarray(tiles, np.int32)))
 
-    n_tiles = max(len(t) for _, t in per_shard)
+    auto_tiles = max(len(t) for _, t in per_shard)
+    if n_tiles:
+        assert n_tiles >= auto_tiles, (
+            f"forced n_tiles={n_tiles} < required {auto_tiles} "
+            f"(B={B}, tile={tile}, n_ratings={n_ratings})"
+        )
+    n_tiles = n_tiles or auto_tiles
     Bp = n_tiles * tile
     order = np.full((n_shards, Bp), -1, np.int32)
     tile_r = np.zeros((n_shards, n_tiles), np.int32)

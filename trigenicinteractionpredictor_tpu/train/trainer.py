@@ -181,9 +181,13 @@ def fit(
             arity=arity,
             n_samples=S // ens_size,  # restarts resident per device
             # Stepwise EM reshuffles rows every epoch; kernels that bake a
-            # host-side row order (bdr's rating sort, the large-G scatter
-            # plan) are excluded there by dispatch itself.
+            # whole-dataset host-side row order (the large-G scatter plan)
+            # are excluded there by dispatch itself.  The bdr kernel stays
+            # eligible: _run_stepwise rating-sorts every minibatch of the
+            # epoch on the host (order within a minibatch is free — the
+            # EMA update consumes only that minibatch's summed statistics).
             static_rows=not stepwise,
+            minibatch_rsort=stepwise,
         )
         if stats_fn is not None:
             kernel_tile = getattr(stats_fn, "tile_b", cfg.engine.tile_b)
@@ -196,12 +200,11 @@ def fit(
     else:
         kernel_tile = getattr(stats_fn, "tile_b", 0)
 
-    # Belt for explicitly-passed stats_fn: row-order-baking kernels cannot
-    # run stepwise (the plan/sort is tied to one exact padded row array).
-    if stepwise and (
-        getattr(stats_fn, "needs_plan", False)
-        or getattr(stats_fn, "needs_rsort", False)
-    ):
+    # Belt for explicitly-passed stats_fn: the scatter-plan kernel cannot
+    # run stepwise (its plan is tied to one exact whole-dataset row
+    # array).  The bdr kernel CAN — _run_stepwise rating-sorts each
+    # minibatch itself.
+    if stepwise and getattr(stats_fn, "needs_plan", False):
         log.log("backend", kernel="jnp", reason="static row order vs stepwise")
         stats_fn = functools.partial(
             em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
@@ -209,12 +212,14 @@ def fit(
         kernel_tile = 0
 
     # Pad rows so every data shard is equal-length (and, on the kernel path,
-    # a multiple of the kernel tile); weight-0 rows are inert.  The bdr
-    # path pads per rating class itself (rating_sort_pad), so it only
-    # needs shard alignment here.
+    # a multiple of the kernel tile); weight-0 rows are inert.  The classic
+    # bdr path pads per rating class itself (rating_sort_pad), so it only
+    # needs shard alignment here; the STEPWISE bdr path wants tile-aligned
+    # minibatch shards (the per-minibatch sort pads classes to a fixed
+    # worst-case tile count, which assumes B % tile == 0).
     needs_rsort = getattr(stats_fn, "needs_rsort", False)
     pad = _lcm(max(cfg.engine.batch_pad_multiple, 1), data_size)
-    if kernel_tile and not needs_rsort:
+    if kernel_tile and (not needs_rsort or stepwise):
         pad = _lcm(pad, data_size * kernel_tile)
 
     # Restart ensemble init (or resume).  The PRNG key only seeds the init —
@@ -859,9 +864,36 @@ def _run_stepwise(
     while n_mb % group:
         group -= 1  # largest divisor <= requested: keeps epochs uniform
     n_dispatch = n_mb // group
+
+    # bdr kernel under stepwise: each minibatch is rating-sorted on the
+    # host into a FIXED padded layout (per-shard tile count = worst case
+    # ceil(B/tile) + R, so every minibatch of every epoch shares one
+    # shape and the scanned epoch stays a single compiled program).
+    # Order within a minibatch is free — the EMA update consumes only the
+    # minibatch's SUMMED statistics, and weight-0 class padding is inert —
+    # so this is numerically identical to the unsorted jnp path
+    # (tests/test_stepwise.py::test_stepwise_bdr_matches_jnp).
+    stats_fn_sw = step_kwargs.get("stats_fn")
+    sw_rsort = getattr(stats_fn_sw, "needs_rsort", False)
+    if sw_rsort:
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+            apply_rating_sort,
+            rating_sort_pad,
+        )
+
+        sw_tile = stats_fn_sw.tile_b
+        d_sh = mesh.shape["data"]
+        B_sh = mb // d_sh
+        assert B_sh % sw_tile == 0, (mb, d_sh, sw_tile)
+        R = ds.n_ratings
+        ft = B_sh // sw_tile + R          # fixed per-shard tile count
+        mb_b = ft * sw_tile * d_sh        # fixed padded minibatch rows
+    else:
+        mb_b = mb
     log.log("stepwise", minibatch=mb, n_minibatches=n_mb,
             kappa=tcfg.stepwise_kappa, t0=tcfg.stepwise_t0,
-            stream_groups=group if n_dispatch > 1 else 0)
+            stream_groups=group if n_dispatch > 1 else 0,
+            rsort_padded_mb=mb_b if sw_rsort else 0)
     degrees = jnp.asarray(ds.degrees())
     n_real = ds.n_real
     w_total_np = np.float32(ds.weight_total())
@@ -911,13 +943,37 @@ def _run_stepwise(
             # through the (possibly memory-mapped) dataset arrays.
             gperm = perm[d * group * mb : (d + 1) * group * mb]
             trip, rat, wts = _host_rows(gperm)
-            batches = Batch(
-                triplets=jax.device_put(
-                    trip.reshape(group, mb, arity), mb_sharding
-                ),
-                ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
-                weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
-            )
+            if sw_rsort:
+                # Per-minibatch rating sort into the fixed padded layout
+                # (class padding weight-0; tile table rides the scan).
+                trip_g = np.empty((group, mb_b, arity), np.int32)
+                rat_g = np.empty((group, mb_b), np.int32)
+                wts_g = np.empty((group, mb_b), np.float32)
+                tiler_g = np.empty((group, d_sh * ft), np.int32)
+                for m in range(group):
+                    sl = slice(m * mb, (m + 1) * mb)
+                    plan = rating_sort_pad(
+                        rat[sl], R, tile=sw_tile, n_shards=d_sh, n_tiles=ft
+                    )
+                    t_, r_, w_ = apply_rating_sort(
+                        plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
+                    )
+                    trip_g[m], rat_g[m], wts_g[m] = t_, r_, w_
+                    tiler_g[m] = plan.tile_r
+                batches = Batch(
+                    triplets=jax.device_put(trip_g, mb_sharding),
+                    ratings=jax.device_put(rat_g, mb_sharding),
+                    weights=jax.device_put(wts_g, mb_sharding),
+                    tile_rating=jax.device_put(tiler_g, mb_sharding),
+                )
+            else:
+                batches = Batch(
+                    triplets=jax.device_put(
+                        trip.reshape(group, mb, arity), mb_sharding
+                    ),
+                    ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
+                    weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
+                )
             states, ema, ll_g, t = epoch_step(
                 states, ema, t, batches, deg_sh, w_total_sh
             )
