@@ -306,3 +306,142 @@ def test_resolved_kernels_carry_tile_b():
     # (no silent TPU-only gate).
     fng = resolve_stats_fn("pallas", 1000, 10, n_samples=17)
     assert getattr(fng, "ensemble", False) and getattr(fng, "tile_b", 0) > 0
+
+
+def test_bdr_group_knob_validation_and_roundtrip(monkeypatch):
+    """VERDICT r3 item 7 + ADVICE r3: the bdr_group override must be a
+    divisor of the per-device restart count, validated with a clear error
+    at resolve time (not an opaque in-kernel assert), and the resolved
+    choice must ride on the returned fn for serialization."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="divisor"):
+        resolve_stats_fn("auto", 1000, 10, n_samples=10, bdr_group=3)
+    with pytest.raises(ValueError, match="divisor"):
+        resolve_stats_fn("auto", 1000, 10, n_samples=10, bdr_group=-2)
+    # Forced group equal to the pick: honored.
+    fn = resolve_stats_fn("auto", 1000, 10, n_samples=10, bdr_group=10)
+    assert getattr(fn, "bdr_group", 0) == 10
+    # Forced group below the pick but calibrated GOOD on-chip
+    # (ops/vmem_calibration.json: [1000, 10, 10, 5, 512]): honored at the
+    # calibrated tile.
+    fn5 = resolve_stats_fn("auto", 1000, 10, n_samples=10, bdr_group=5)
+    assert getattr(fn5, "bdr_group", 0) == 5
+    assert getattr(fn5, "tile_b", 0) == 512
+    # Forced-narrow at an UNCALIBRATED G: conservative tile step-down
+    # (many-group concat pressure is non-monotone in group width — the
+    # measured t256/K20/g2 trap).
+    fn_u = resolve_stats_fn("auto", 1500, 10, n_samples=10, bdr_group=2)
+    fn_auto = resolve_stats_fn("auto", 1500, 10, n_samples=10)
+    if fn_u is not None and fn_auto is not None:
+        assert fn_u.tile_b <= fn_auto.tile_b // 2 or fn_u.tile_b == 128
+
+
+def test_calibration_table_dominance():
+    """The measured-shape table (ops/calibration.py) decides dispatch:
+    bad entries veto analytic-admitted shapes; good entries prove
+    dominated shapes; K and group never generalize."""
+    from trigenicinteractionpredictor_tpu.ops import calibration
+    from trigenicinteractionpredictor_tpu.ops.dispatch import bdr_kernel_fits
+
+    c = calibration.classify
+    # The pinned round-3 trap: t256/K20/g2 OOM'd on-chip.
+    assert c("bdr", 1000, 20, 10, 2, 256) == calibration.BAD
+    assert not bdr_kernel_fits(1000, 20, 256, 10, group=2)
+    # ... while g=5 at the same tile measured good.
+    assert c("bdr", 1000, 20, 10, 5, 256) == calibration.GOOD
+    assert bdr_kernel_fits(1000, 20, 256, 10, group=5)
+    # Dominance: smaller G/S/tile inherit GOOD at fixed (K, group) ...
+    assert c("bdr", 800, 10, 10, 10, 256) == calibration.GOOD
+    # ... larger G/S/tile inherit BAD at fixed (K, group) ...
+    assert c("bdr", 2000, 10, 50, 10, 512) == calibration.BAD
+    # ... and nothing generalizes across K or group.
+    assert c("bdr", 1000, 13, 10, 10, 512) == calibration.UNKNOWN
+    assert c("bdr", 1000, 20, 10, 4, 256) == calibration.UNKNOWN
+    # Unknown families fall through to the analytic envelope.
+    assert c("nosuch", 1000, 10, 10, 10, 512) == calibration.UNKNOWN
+
+
+def test_precision_knob_validation_and_threading(monkeypatch):
+    """VERDICT r3 item 4: EngineConfig.precision='strict' must reach the
+    kernel factories (HIGHEST on every kernel matmul)."""
+    import jax
+
+    with pytest.raises(ValueError, match="precision"):
+        resolve_stats_fn("auto", 1000, 10, n_samples=10, precision="hmm")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for shape in [(1000, 10, 10), (1000, 50, 10), (4000, 10, 10)]:
+        g, k, s = shape
+        fn = resolve_stats_fn("auto", g, k, n_samples=s, precision="strict")
+        assert fn is not None
+        assert fn.keywords.get("strict") is True, shape
+        fn_fast = resolve_stats_fn("auto", g, k, n_samples=s)
+        assert fn_fast.keywords.get("strict") is False, shape
+
+
+def test_strict_mode_kernel_parity():
+    """strict=True changes numerics only on real MXU hardware; in
+    interpret mode (CPU f32) it must be exactly the fast path, which is
+    itself tested against the jnp oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.models import init_state
+    from trigenicinteractionpredictor_tpu.ops.em import Batch
+    from trigenicinteractionpredictor_tpu.ops.pallas_em import (
+        pallas_em_ensemble_stats,
+    )
+
+    ds, _, _ = sample_synthetic_dataset(512, 40, 4, seed=3)
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+    keys = jax.random.split(jax.random.key(0), 3)
+    states = jax.vmap(lambda kk: init_state(kk, 40, 4, 2))(keys)
+    fast = pallas_em_ensemble_stats(
+        states.theta, states.p, batch, tile_b=128, interpret=True
+    )
+    strict = pallas_em_ensemble_stats(
+        states.theta, states.p, batch, tile_b=128, interpret=True, strict=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.theta_hat), np.asarray(strict.theta_hat), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.loglik), np.asarray(strict.loglik), rtol=1e-6
+    )
+
+
+def test_fit_records_dispatch_decision(tmp_path):
+    """The resolved kernel family/tile/group/precision rides in
+    FitResult.dispatch and in the checkpoint (extra_dispatch_json)."""
+    import json
+
+    from trigenicinteractionpredictor_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    ds, _, _ = sample_synthetic_dataset(600, 30, 3, seed=0)
+    cfg = Config(
+        train=TrainConfig(k=3, sweeps=4, samples=2, likelihood_freq=2),
+        engine=EngineConfig(backend="jnp", precision="strict"),
+    )
+    ck = str(tmp_path / "ck.npz")
+    res = fit(cfg, ds, checkpoint_path=ck)
+    assert res.dispatch["kernel"] == "jnp"
+    assert res.dispatch["precision"] == "strict"
+    loaded = load_checkpoint(ck)
+    dj = json.loads(bytes(loaded["extra"]["dispatch_json"]).decode())
+    assert dj == res.dispatch
+
+    # Pallas path (interpret on CPU): kernel name + tile + group recorded.
+    cfg2 = Config(
+        train=TrainConfig(k=3, sweeps=2, samples=2, likelihood_freq=2),
+        engine=EngineConfig(backend="pallas", tile_b=128),
+    )
+    res2 = fit(cfg2, ds)
+    assert res2.dispatch["kernel"].startswith("pallas-")
+    assert res2.dispatch["tile_b"] >= 128

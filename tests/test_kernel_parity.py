@@ -238,3 +238,48 @@ def test_ensemble_kernel_matches_vmapped_jnp():
     np.testing.assert_allclose(
         np.asarray(out.loglik), np.asarray(ref.loglik), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("group,s", [(1, 4), (2, 4), (4, 4), (1, 3), (3, 3)])
+def test_bdrg_grid_groups_match_jnp(group, s):
+    """bdrg (restart groups on the grid — the large-K band kernel) matches
+    the jnp reference for every group width, including p-stats."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bdrg import (
+        bdrg_em_ensemble_stats,
+    )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+        apply_rating_sort,
+        rating_sort_pad,
+    )
+
+    n, g, k, r, tile_b = 600, 50, 5, 2, 128
+    ds, batch, _ = _setup(n, g, k, r, seed=23)
+    plan = rating_sort_pad(np.asarray(batch.ratings), r, tile=tile_b)
+    t_, r_, w_ = apply_rating_sort(
+        plan, np.asarray(batch.triplets), np.asarray(batch.ratings),
+        np.asarray(batch.weights),
+    )
+    sorted_batch = Batch(
+        triplets=jnp.asarray(t_), ratings=jnp.asarray(r_),
+        weights=jnp.asarray(w_), tile_rating=jnp.asarray(plan.tile_r),
+    )
+    keys = jax.random.split(jax.random.key(5), s)
+    states = jax.vmap(lambda kk: init_state(kk, g, k, r))(keys)
+    ref = jax.vmap(
+        lambda th, p: em_sufficient_stats(
+            th, p, batch, precision=jax.lax.Precision.HIGHEST
+        )
+    )(states.theta, states.p)
+    out = bdrg_em_ensemble_stats(
+        states.theta, states.p, sorted_batch,
+        tile_b=tile_b, group=group, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta_hat), np.asarray(ref.theta_hat), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_hat), np.asarray(ref.p_hat), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.loglik), np.asarray(ref.loglik), rtol=1e-5
+    )

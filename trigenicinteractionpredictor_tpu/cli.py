@@ -56,6 +56,17 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         "regime; K must divide by this)",
     )
     sub.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    sub.add_argument(
+        "--precision", choices=["fast", "strict"], default="fast",
+        help="kernel numerics: 'fast' = MXU DEFAULT (bf16 passes, ~30%% "
+        "faster), 'strict' = HIGHEST everywhere (monotone likelihood "
+        "on-chip)",
+    )
+    sub.add_argument(
+        "--bdr-group", type=int, default=0,
+        help="bdr kernel restart sub-group width (0 = measured-best rule; "
+        "must divide the per-device restart count)",
+    )
     sub.add_argument("--checkpoint-every", type=int, default=0)
     sub.add_argument("--test-fraction", type=float, default=0.2)
     sub.add_argument("--tau-mode", choices=["abs", "negative"], default="abs")
@@ -181,7 +192,11 @@ def _make_config(args, n_folds: int = 1):
             test_fraction=args.test_fraction, n_folds=n_folds, seed=args.seed
         ),
         mesh=MeshConfig(data=data, ensemble=ens, model=model),
-        engine=EngineConfig(backend=args.backend),
+        engine=EngineConfig(
+            backend=args.backend,
+            precision=getattr(args, "precision", "fast"),
+            bdr_group=getattr(args, "bdr_group", 0),
+        ),
         out_dir=args.out or "runs/run",
     )
 

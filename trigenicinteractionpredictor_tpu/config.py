@@ -162,6 +162,22 @@ class EngineConfig:
     # Bounds XLA fusion tiles at large K, where the per-rating gather over
     # the whole [B, K, K] tensor exceeds the 16 MB scoped-VMEM limit.
     jnp_row_chunk: int = 16384
+    # Kernel numerics mode.  'fast' (default): MXU matmuls run at DEFAULT
+    # precision (bf16 operand passes) — measured ~30% faster, but on-chip
+    # 60-sweep likelihood traces show occasional small decreases (~3e-4
+    # relative; BASELINE.md numerics note), so tol-based early stopping
+    # reads a slightly noisy trace.  'strict': every kernel matmul runs at
+    # HIGHEST precision — the monotone-likelihood EM invariant holds
+    # on-chip (tests/test_tpu_numerics.py) at a measured throughput cost.
+    # The jnp path always runs HIGHEST and is unaffected.
+    precision: str = "fast"
+    # Restart sub-group width for the bdr kernel's block-diagonal stages
+    # (0 = measured-best rule: largest divisor of S with group*K <= 128
+    # MXU lanes — ops/dispatch.py _pick_bdr_group).  Must divide the
+    # per-device restart count.  tools/bdr_group_sweep.py measures the
+    # frontier; the resolved choice is recorded in the fit report and
+    # checkpoint for reproducibility.
+    bdr_group: int = 0
 
 
 @dataclass(frozen=True)

@@ -74,6 +74,7 @@ def _em_tile_kernel(
     k: int,
     n_ratings: int,
     n_samples: int,
+    strict: bool = False,
 ):
     """One triplet tile for an ensemble of S restarts.
 
@@ -87,6 +88,10 @@ def _em_tile_kernel(
     Bt = trip_ref.shape[0]
     G = theta_ref.shape[0]
     K2 = K * K
+    # strict: HIGHEST on every MXU matmul (f32 operand passes) so the EM
+    # monotone-likelihood invariant holds on-chip; fast (default) keeps the
+    # DEFAULT bf16 passes (BASELINE.md numerics note).
+    prec = jax.lax.Precision.HIGHEST if strict else None
 
     @pl.when(i == 0)
     def _init():
@@ -103,9 +108,9 @@ def _em_tile_kernel(
 
     # Shared across the ensemble: triplet one-hots and the rating one-hot.
     oh1, oh2, oh3 = onehot(0), onehot(1), onehot(2)
-    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32)
-    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32)
-    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
+    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32, precision=prec)
+    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32, precision=prec)
+    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32, precision=prec)
     r_onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (Bt, R), 1) == r_ref[:, 0][:, None]
     ).astype(jnp.float32)
@@ -122,23 +127,23 @@ def _em_tile_kernel(
         # T[b,(k,l)] = sum_m th3[b,m] p_s[k,l,m,r_b]
         T_all = jnp.dot(
             th3, p_m_ref[s * K : (s + 1) * K, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         T = jnp.zeros((Bt, K2), jnp.float32)
         for rr in range(R):
             T += T_all[:, rr * K2 : (rr + 1) * K2] * r_onehot[:, rr : rr + 1]
 
-        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32)
-        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32)
+        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32, precision=prec)
+        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32, precision=prec)
 
-        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32)
-        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32)
+        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32, precision=prec)
+        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32, precision=prec)
         D = jnp.sum(th1 * A1, axis=1, keepdims=True)               # [Bt, 1]
 
         W = th1_spread * th2_spread                                # [Bt, K^2]
         A3_all = jnp.dot(
             W, p_kk_ref[s * K2 : (s + 1) * K2, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         A3 = jnp.zeros((Bt, K), jnp.float32)
         for rr in range(R):
@@ -153,7 +158,7 @@ def _em_tile_kernel(
             [th3 * r_onehot[:, rr : rr + 1] for rr in range(R)], axis=1
         )
         s_ref[s * K2 : (s + 1) * K2, :] += jnp.dot(
-            V.T, th3r, preferred_element_type=jnp.float32
+            V.T, th3r, preferred_element_type=jnp.float32, precision=prec
         )
         ll_parts.append(jnp.sum(w * jnp.log(D + _EPS)))
 
@@ -163,15 +168,15 @@ def _em_tile_kernel(
     s2_all = jnp.concatenate([t[1] for t in s_tiles], axis=1)
     s3_all = jnp.concatenate([t[2] for t in s_tiles], axis=1)
     theta_hat_ref[:] += (
-        jnp.dot(oh1.T, s1_all, preferred_element_type=jnp.float32)
-        + jnp.dot(oh2.T, s2_all, preferred_element_type=jnp.float32)
-        + jnp.dot(oh3.T, s3_all, preferred_element_type=jnp.float32)
+        jnp.dot(oh1.T, s1_all, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(oh2.T, s2_all, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(oh3.T, s3_all, preferred_element_type=jnp.float32, precision=prec)
     )
     for s in range(S):
         ll_ref[s, 0] += ll_parts[s]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "strict"))
 def _pallas_stats(
     thetas: jax.Array,   # [S, G, K]
     ps: jax.Array,       # [S, K, K, K, R]
@@ -180,6 +185,7 @@ def _pallas_stats(
     weights: jax.Array,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     S, G, K = thetas.shape
     R = ps.shape[-1]
@@ -195,7 +201,9 @@ def _pallas_stats(
     e1_np, e2_np = _selectors(K)
     e1, e2 = jnp.asarray(e1_np), jnp.asarray(e2_np)
 
-    kernel = functools.partial(_em_tile_kernel, k=K, n_ratings=R, n_samples=S)
+    kernel = functools.partial(
+        _em_tile_kernel, k=K, n_ratings=R, n_samples=S, strict=strict
+    )
     theta_hat, s, ll = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -248,6 +256,7 @@ def pallas_em_sufficient_stats(
     precision=None,  # signature-compatible with em_sufficient_stats; unused
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Drop-in replacement for ops.em.em_sufficient_stats (Pallas path).
 
@@ -255,7 +264,8 @@ def pallas_em_sufficient_stats(
     defaults to True off-TPU so CPU tests exercise the same kernel logic.
     """
     out = pallas_em_ensemble_stats(
-        theta[None], p[None], batch, tile_b=tile_b, interpret=interpret
+        theta[None], p[None], batch, tile_b=tile_b, interpret=interpret,
+        strict=strict,
     )
     return SweepStats(
         theta_hat=out.theta_hat[0], p_hat=out.p_hat[0], loglik=out.loglik[0]
@@ -269,6 +279,7 @@ def pallas_em_ensemble_stats(
     precision=None,      # signature compatibility; unused
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Whole-ensemble fused sweep: S restarts share the one-hot matmuls.
 
@@ -287,6 +298,7 @@ def pallas_em_ensemble_stats(
         batch.weights,
         tile_b=tile_b,
         interpret=interpret,
+        strict=strict,
     )
     p_hat = ps * s
     return SweepStats(theta_hat=theta_hat, p_hat=p_hat, loglik=ll)

@@ -113,11 +113,16 @@ def _em_tile_kernel_bdr(
     k: int,
     n_samples: int,
     group: int,
+    strict: bool = False,
 ):
     i = pl.program_id(0)
     K, S = k, n_samples
     Bt = trip_ref.shape[0]
     G = theta_ref.shape[0]
+    # strict: HIGHEST on every MXU matmul, so the monotone-likelihood EM
+    # invariant holds on-chip (EngineConfig.precision='strict'); fast keeps
+    # the DEFAULT bf16 operand passes (see precision note below).
+    prec = jax.lax.Precision.HIGHEST if strict else None
 
     @pl.when(i == 0)
     def _init_global():
@@ -135,9 +140,9 @@ def _em_tile_kernel_bdr(
         return (gene_iota == trip_ref[:, pos][:, None]).astype(jnp.float32)
 
     oh1, oh2, oh3 = onehot(0), onehot(1), onehot(2)
-    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32)
-    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32)
-    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32)
+    th1_all = jnp.dot(oh1, theta, preferred_element_type=jnp.float32, precision=prec)
+    th2_all = jnp.dot(oh2, theta, preferred_element_type=jnp.float32, precision=prec)
+    th3_all = jnp.dot(oh3, theta, preferred_element_type=jnp.float32, precision=prec)
     w = w_ref[:]
 
     # The gK2-wide algebra runs per restart GROUP: the block-diagonal
@@ -168,24 +173,24 @@ def _em_tile_kernel_bdr(
         th2_i = th2_all[:, rsl]
         th3_i = th3_all[:, rsl]
         T_i = jnp.dot(
-            th3_i, pm_ref[0, gi], preferred_element_type=jnp.float32
+            th3_i, pm_ref[0, gi], preferred_element_type=jnp.float32, precision=prec
         )
-        sp1_i = jnp.dot(th1_i, e1, preferred_element_type=jnp.float32)
-        sp2_i = jnp.dot(th2_i, e2, preferred_element_type=jnp.float32)
+        sp1_i = jnp.dot(th1_i, e1, preferred_element_type=jnp.float32, precision=prec)
+        sp2_i = jnp.dot(th2_i, e2, preferred_element_type=jnp.float32, precision=prec)
         A1_i = jnp.dot(
-            T_i * sp2_i, e1t, preferred_element_type=jnp.float32
+            T_i * sp2_i, e1t, preferred_element_type=jnp.float32, precision=prec
         )
         A1_parts.append(A1_i)
         A2_parts.append(jnp.dot(
-            T_i * sp1_i, e2t, preferred_element_type=jnp.float32
+            T_i * sp1_i, e2t, preferred_element_type=jnp.float32, precision=prec
         ))
         W_i = sp1_i * sp2_i
         W_parts.append(W_i)
         A3_parts.append(jnp.dot(
-            W_i, pkk_ref[0, gi], preferred_element_type=jnp.float32
+            W_i, pkk_ref[0, gi], preferred_element_type=jnp.float32, precision=prec
         ))
         D_parts.append(jnp.dot(
-            th1_i * A1_i, ks, preferred_element_type=jnp.float32
+            th1_i * A1_i, ks, preferred_element_type=jnp.float32, precision=prec
         ))                                                   # [Bt, g]
     if nb == 1:
         A1, A2, A3g = A1_parts[0], A2_parts[0], A3_parts[0]
@@ -208,14 +213,14 @@ def _em_tile_kernel_bdr(
     scale_S = w / (Dsum + _EPS)
     kst = kst_ref[:]
     if nb == 1:
-        scale = jnp.dot(scale_S, kst, preferred_element_type=jnp.float32)
+        scale = jnp.dot(scale_S, kst, preferred_element_type=jnp.float32, precision=prec)
     else:
         scale = jnp.concatenate(
             [
                 jnp.dot(
                     scale_S[:, gi * group : (gi + 1) * group],
                     kst,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
                 for gi in range(nb)
             ],
@@ -240,11 +245,11 @@ def _em_tile_kernel_bdr(
         scale2_i = jnp.dot(
             scale_S[:, gi * group : (gi + 1) * group],
             k2s,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )                                                   # [Bt, gK2]
         V_i = W_parts[gi] * scale2_i
         contrib_parts.append(jnp.dot(
-            V_i.T, th3_all[:, rsl], preferred_element_type=jnp.float32
+            V_i.T, th3_all[:, rsl], preferred_element_type=jnp.float32, precision=prec
         ))
     contrib = (
         contrib_parts[0] if nb == 1
@@ -260,16 +265,16 @@ def _em_tile_kernel_bdr(
         cross_ref[0] += contrib
 
     theta_hat_ref[:] += (
-        jnp.dot(oh1.T, s1, preferred_element_type=jnp.float32)
-        + jnp.dot(oh2.T, s2, preferred_element_type=jnp.float32)
-        + jnp.dot(oh3.T, s3, preferred_element_type=jnp.float32)
+        jnp.dot(oh1.T, s1, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(oh2.T, s2, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(oh3.T, s3, preferred_element_type=jnp.float32, precision=prec)
     )
     ll_tile = jnp.log(Dsum + _EPS) * w                      # [Bt, S]
     ll_ref[:] += jnp.sum(ll_tile, axis=0, keepdims=True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "group", "interpret")
+    jax.jit, static_argnames=("tile_b", "group", "interpret", "strict")
 )
 def _pallas_stats_bdr(
     thetas: jax.Array,   # [S, G, K]
@@ -280,6 +285,7 @@ def _pallas_stats_bdr(
     tile_b: int = DEFAULT_TILE_B,
     group: int = 0,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     S, G, K = thetas.shape
     R = ps.shape[-1]
@@ -300,7 +306,7 @@ def _pallas_stats_bdr(
     E1, E2, KS, K2S = _bd_selectors(K, group)
 
     kernel = functools.partial(
-        _em_tile_kernel_bdr, k=K, n_samples=S, group=group
+        _em_tile_kernel_bdr, k=K, n_samples=S, group=group, strict=strict
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -376,6 +382,7 @@ def bdr_em_ensemble_stats(
     tile_b: int = DEFAULT_TILE_B,
     group: int = 0,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Whole-ensemble fused sweep: bd algebra x rating-sorted x one-hot.
 
@@ -402,6 +409,7 @@ def bdr_em_ensemble_stats(
         tile_b=tile_b,
         group=group,
         interpret=interpret,
+        strict=strict,
     )
     return SweepStats(theta_hat=theta_hat, p_hat=ps * s, loglik=ll)
 

@@ -64,6 +64,7 @@ def _em_tile_kernel_hybrid(
     k: int,
     n_ratings: int,
     n_samples: int,
+    strict: bool = False,
 ):
     """One pre-gathered triplet tile; scatter-add stays on the MXU.
 
@@ -76,6 +77,8 @@ def _em_tile_kernel_hybrid(
     Bt = r_ref.shape[0]
     G = theta_hat_ref.shape[0]
     K2 = K * K
+    # strict: HIGHEST on every MXU matmul (on-chip monotone-L mode).
+    prec = jax.lax.Precision.HIGHEST if strict else None
 
     @pl.when(i == 0)
     def _init():
@@ -100,23 +103,23 @@ def _em_tile_kernel_hybrid(
         # T[b,(k,l)] = sum_m th3[b,m] p_s[k,l,m,r_b]
         T_all = jnp.dot(
             th3, p_m_ref[s * K : (s + 1) * K, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         T = jnp.zeros((Bt, K2), jnp.float32)
         for rr in range(R):
             T += T_all[:, rr * K2 : (rr + 1) * K2] * r_onehot[:, rr : rr + 1]
 
-        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32)
-        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32)
+        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32, precision=prec)
+        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32, precision=prec)
 
-        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32)
-        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32)
+        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32, precision=prec)
+        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32, precision=prec)
         D = jnp.sum(th1 * A1, axis=1, keepdims=True)
 
         W = th1_spread * th2_spread
         A3_all = jnp.dot(
             W, p_kk_ref[s * K2 : (s + 1) * K2, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         A3 = jnp.zeros((Bt, K), jnp.float32)
         for rr in range(R):
@@ -130,7 +133,7 @@ def _em_tile_kernel_hybrid(
             [th3 * r_onehot[:, rr : rr + 1] for rr in range(R)], axis=1
         )
         s_ref[s * K2 : (s + 1) * K2, :] += jnp.dot(
-            V.T, th3r, preferred_element_type=jnp.float32
+            V.T, th3r, preferred_element_type=jnp.float32, precision=prec
         )
         ll_parts.append(jnp.sum(w * jnp.log(D + _EPS)))
 
@@ -146,15 +149,15 @@ def _em_tile_kernel_hybrid(
     s2_all = jnp.concatenate([t[1] for t in s_tiles], axis=1)
     s3_all = jnp.concatenate([t[2] for t in s_tiles], axis=1)
     theta_hat_ref[:] += (
-        jnp.dot(onehot(0).T, s1_all, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot(1).T, s2_all, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot(2).T, s3_all, preferred_element_type=jnp.float32)
+        jnp.dot(onehot(0).T, s1_all, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(onehot(1).T, s2_all, preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(onehot(2).T, s3_all, preferred_element_type=jnp.float32, precision=prec)
     )
     for s in range(S):
         ll_ref[s, 0] += ll_parts[s]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "strict"))
 def _pallas_stats_hybrid(
     thetas: jax.Array,   # [S, G, K]
     ps: jax.Array,       # [S, K, K, K, R]
@@ -163,6 +166,7 @@ def _pallas_stats_hybrid(
     weights: jax.Array,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     S, G, K = thetas.shape
     R = ps.shape[-1]
@@ -183,7 +187,7 @@ def _pallas_stats_hybrid(
     th3 = jnp.take(theta_all, triplets[:, 2], axis=0)
 
     kernel = functools.partial(
-        _em_tile_kernel_hybrid, k=K, n_ratings=R, n_samples=S
+        _em_tile_kernel_hybrid, k=K, n_ratings=R, n_samples=S, strict=strict
     )
     tile_spec = lambda w: pl.BlockSpec(  # noqa: E731
         (tile_b, w), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -246,6 +250,7 @@ def hybrid_em_ensemble_stats(
     precision=None,      # signature compatibility; unused
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Whole-ensemble fused sweep, XLA-gather variant (SweepStats, [S] axes)."""
     if interpret is None:
@@ -258,6 +263,7 @@ def hybrid_em_ensemble_stats(
         batch.weights,
         tile_b=tile_b,
         interpret=interpret,
+        strict=strict,
     )
     return SweepStats(theta_hat=theta_hat, p_hat=ps * s, loglik=ll)
 

@@ -156,6 +156,7 @@ def _em_tile_kernel_pregathered(
     k: int,
     n_ratings: int,
     n_samples: int,
+    strict: bool = False,
 ):
     """E-step + p-stats for one pre-gathered triplet tile (no G anywhere).
 
@@ -167,6 +168,8 @@ def _em_tile_kernel_pregathered(
     K, R, S = k, n_ratings, n_samples
     Bt = r_ref.shape[0]
     K2 = K * K
+    # strict: HIGHEST on every MXU matmul (on-chip monotone-L mode).
+    prec = jax.lax.Precision.HIGHEST if strict else None
 
     @pl.when(i == 0)
     def _init():
@@ -187,23 +190,23 @@ def _em_tile_kernel_pregathered(
 
         T_all = jnp.dot(
             th3, p_m_ref[s * K : (s + 1) * K, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         T = jnp.zeros((Bt, K2), jnp.float32)
         for rr in range(R):
             T += T_all[:, rr * K2 : (rr + 1) * K2] * r_onehot[:, rr : rr + 1]
 
-        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32)
-        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32)
+        th1_spread = jnp.dot(th1, e1, preferred_element_type=jnp.float32, precision=prec)
+        th2_spread = jnp.dot(th2, e2, preferred_element_type=jnp.float32, precision=prec)
 
-        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32)
-        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32)
+        A1 = jnp.dot(T * th2_spread, e1.T, preferred_element_type=jnp.float32, precision=prec)
+        A2 = jnp.dot(T * th1_spread, e2.T, preferred_element_type=jnp.float32, precision=prec)
         D = jnp.sum(th1 * A1, axis=1, keepdims=True)
 
         W = th1_spread * th2_spread
         A3_all = jnp.dot(
             W, p_kk_ref[s * K2 : (s + 1) * K2, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         A3 = jnp.zeros((Bt, K), jnp.float32)
         for rr in range(R):
@@ -219,7 +222,7 @@ def _em_tile_kernel_pregathered(
             [th3 * r_onehot[:, rr : rr + 1] for rr in range(R)], axis=1
         )
         sacc_ref[s * K2 : (s + 1) * K2, :] += jnp.dot(
-            V.T, th3r, preferred_element_type=jnp.float32
+            V.T, th3r, preferred_element_type=jnp.float32, precision=prec
         )
         ll_ref[s, 0] += jnp.sum(w * jnp.log(D + _EPS))
 
@@ -259,7 +262,7 @@ def _scatter_tile_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "wb", "n_blocks", "interpret")
+    jax.jit, static_argnames=("tile_b", "wb", "n_blocks", "interpret", "strict")
 )
 def _pallas_stats_large(
     thetas: jax.Array,    # [S, G, K]
@@ -274,6 +277,7 @@ def _pallas_stats_large(
     wb: int,
     n_blocks: int,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     S, G, K = thetas.shape
     R = ps.shape[-1]
@@ -298,7 +302,8 @@ def _pallas_stats_large(
 
     # Stage 2: fused E-step + p-stats kernel (no G-sized buffers).
     kernel = functools.partial(
-        _em_tile_kernel_pregathered, k=K, n_ratings=R, n_samples=S
+        _em_tile_kernel_pregathered, k=K, n_ratings=R, n_samples=S,
+        strict=strict,
     )
     tile_spec = lambda w: pl.BlockSpec(  # noqa: E731
         (tile_b, w), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -400,6 +405,7 @@ def large_g_ensemble_stats(
     wb: int = DEFAULT_WB,
     n_blocks: int = 0,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Whole-ensemble fused sweep for arbitrary G (SweepStats, leading [S]).
 
@@ -427,5 +433,6 @@ def large_g_ensemble_stats(
         wb=wb,
         n_blocks=n_blocks,
         interpret=interpret,
+        strict=strict,
     )
     return SweepStats(theta_hat=theta_hat, p_hat=ps * s, loglik=ll)

@@ -54,6 +54,9 @@ class FitResult:
     sweeps_run: int
     triplets_per_sec: float
     wall_seconds: float
+    # Resolved compute-path decision (kernel family, tile, bdr group,
+    # precision mode) — also serialized into checkpoints as extra_dispatch.
+    dispatch: dict = field(default_factory=dict)
 
     @property
     def best_sample(self) -> int:
@@ -69,6 +72,18 @@ class FitResult:
 
 def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
+
+
+def _dispatch_extra(dispatch_info: dict) -> dict:
+    """Checkpoint ``extra`` entry carrying the resolved dispatch decision
+    (JSON as a uint8 array — npz-safe without pickling)."""
+    import json as _json
+
+    return {
+        "dispatch_json": np.frombuffer(
+            _json.dumps(dispatch_info, sort_keys=True).encode(), dtype=np.uint8
+        )
+    }
 
 
 def _anneal_schedule(tcfg) -> Optional[np.ndarray]:
@@ -188,6 +203,8 @@ def fit(
             # EMA update consumes only that minibatch's summed statistics).
             static_rows=not stepwise,
             minibatch_rsort=stepwise,
+            bdr_group=cfg.engine.bdr_group,
+            precision=cfg.engine.precision,
         )
         if stats_fn is not None:
             kernel_tile = getattr(stats_fn, "tile_b", cfg.engine.tile_b)
@@ -210,6 +227,30 @@ def fit(
             em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
         )
         kernel_tile = 0
+
+    # The resolved dispatch decision, serialized into the JSONL log, the
+    # checkpoint, and FitResult so a perf experiment is reproducible from
+    # its artifacts alone (VERDICT r3 item 7).  kernel_name is attached by
+    # ops/dispatch.py's factories; explicitly-passed stats_fns without one
+    # record their repr.
+    if use_tp:
+        _kern = "jnp-tp"
+    elif stats_fn is None or isinstance(stats_fn, functools.partial) and (
+        getattr(stats_fn, "func", None) is em_sufficient_stats
+    ):
+        _kern = "jnp"
+    else:
+        _kern = getattr(stats_fn, "kernel_name", None) or getattr(
+            stats_fn, "__name__", type(stats_fn).__name__
+        )
+    dispatch_info = {
+        "kernel": _kern,
+        "tile_b": int(getattr(stats_fn, "tile_b", 0) or 0),
+        "bdr_group": int(getattr(stats_fn, "bdr_group", 0) or 0),
+        "precision": cfg.engine.precision,
+        "backend": cfg.engine.backend,
+    }
+    log.log("dispatch", **dispatch_info)
 
     # Pad rows so every data shard is equal-length (and, on the kernel path,
     # a multiple of the kernel tile); weight-0 rows are inert.  The classic
@@ -297,6 +338,7 @@ def fit(
         return _run_stepwise(
             cfg, mesh, train_ds, pad, states, step_kwargs, log, checkpoint_path,
             start_epoch=start_sweep, ll_rows=ll_rows, carry=stepwise_carry,
+            dispatch_info=dispatch_info,
         )
 
     # Classic (full-batch) EM: the whole padded training split is
@@ -500,6 +542,7 @@ def fit(
                 np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
                 key=key_data,
                 config_json=config_json,
+                extra=_dispatch_extra(dispatch_info),
             )
     stop = flush_pending() or stop
 
@@ -542,6 +585,7 @@ def fit(
             np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
             key=key_data,
             config_json=config_json,
+            extra=_dispatch_extra(dispatch_info),
         )
     return FitResult(
         states=ModelState(
@@ -552,6 +596,7 @@ def fit(
         sweeps_run=sweep,
         triplets_per_sec=tps,
         wall_seconds=wall,
+        dispatch=dispatch_info,
     )
 
 
@@ -794,6 +839,7 @@ def _run_stepwise(
     start_epoch: int = 0,
     ll_rows: Optional[List[np.ndarray]] = None,
     carry=None,
+    dispatch_info: Optional[dict] = None,
 ) -> FitResult:
     """Stepwise (incremental/minibatch) EM epochs (TrainConfig.minibatch).
 
@@ -881,7 +927,14 @@ def _run_stepwise(
             rating_sort_pad,
         )
 
-        sw_tile = stats_fn_sw.tile_b
+        sw_tile = getattr(stats_fn_sw, "tile_b", 0)
+        if not sw_tile:
+            raise ValueError(
+                "stats_fn sets needs_rsort but carries no tile_b; the "
+                "stepwise rating-sort pads per-class to whole kernel tiles "
+                "and needs the tile size (attach fn.tile_b, or use the "
+                "dispatch factories in ops/dispatch.py)"
+            )
         d_sh = mesh.shape["data"]
         B_sh = mb // d_sh
         assert B_sh % sw_tile == 0, (mb, d_sh, sw_tile)
@@ -1013,7 +1066,8 @@ def _run_stepwise(
                 epoch,
                 np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
                 config_json=config_json,
-                extra=_stepwise_extra(),
+                extra={**_stepwise_extra(),
+                       **_dispatch_extra(dispatch_info or {})},
             )
 
     jax.block_until_ready(states.theta)
@@ -1052,7 +1106,8 @@ def _run_stepwise(
             epoch,
             np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
             config_json=config_json,
-            extra=_stepwise_extra(),
+            extra={**_stepwise_extra(),
+                   **_dispatch_extra(dispatch_info or {})},
         )
     return FitResult(
         states=ModelState(
@@ -1063,4 +1118,5 @@ def _run_stepwise(
         sweeps_run=epoch,
         triplets_per_sec=tps,
         wall_seconds=wall,
+        dispatch=dispatch_info or {},
     )
