@@ -55,7 +55,9 @@ def _em_tile_kernel_bdrg(
     # inputs
     trip_ref,      # int32 [Bt, 3]
     w_ref,         # f32  [Bt, 1]
-    theta_ref,     # f32  [G, gK]          this group's columns
+    theta_ref,     # f32  [1, G, gK]       this group's columns (leading
+                   #                       group axis: TPU blocks must be
+                   #                       full trailing dims or 128-aligned)
     pm_ref,        # f32  [1, 1, gK, gK2]  this (rating, group) block
     pkk_ref,       # f32  [1, 1, gK2, gK]
     e1_ref,        # f32  [gK, gK2]
@@ -66,9 +68,9 @@ def _em_tile_kernel_bdrg(
     kst_ref,       # f32  [g, gK]
     k2s_ref,       # f32  [g, gK2]
     # outputs
-    theta_hat_ref,  # f32 [G, gK]          this group's accumulator
+    theta_hat_ref,  # f32 [1, G, gK]       this group's accumulator
     cross_ref,      # f32 [1, 1, gK2, gK]  this (rating, group) block
-    ll_ref,         # f32 [1, g]           this group's row
+    ll_ref,         # f32 [1, 1, g]        this group's row
     *,
     k: int,
     group: int,
@@ -77,7 +79,7 @@ def _em_tile_kernel_bdrg(
     i = pl.program_id(1)            # tile index (fast axis; resets per group)
     K = k
     Bt = trip_ref.shape[0]
-    G = theta_ref.shape[0]
+    G = theta_ref.shape[1]
     prec = jax.lax.Precision.HIGHEST if strict else None
 
     @pl.when(i == 0)
@@ -89,7 +91,7 @@ def _em_tile_kernel_bdrg(
         i == 0, tile_r_ref[jnp.maximum(i - 1, 0)] != tile_r_ref[i]
     )
 
-    theta = theta_ref[:]
+    theta = theta_ref[0]
     gene_iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
 
     def onehot(pos: int):
@@ -114,21 +116,32 @@ def _em_tile_kernel_bdrg(
     A3 = jnp.dot(
         W, pkk_ref[0, 0], preferred_element_type=jnp.float32, precision=prec
     )
-    D = jnp.dot(
-        th1 * A1, ks_ref[:], preferred_element_type=jnp.float32, precision=prec
-    )                                                       # [Bt, g]
-    scale_g = w / (D + _EPS)                                # [Bt, g]
-    scale = jnp.dot(
-        scale_g, kst_ref[:], preferred_element_type=jnp.float32, precision=prec
-    )                                                       # [Bt, gK]
+    if group == 1:
+        # g=1: the ks/kst/k2s "matmuls" would be width-1 MXU passes —
+        # maximally latency-bound.  A VPU row-sum + broadcast is free.
+        D1 = jnp.sum(th1 * A1, axis=1, keepdims=True)       # [Bt, 1]
+        scale = w / (D1 + _EPS)                             # bcast [Bt, 1]
+        scale2 = scale
+        D = D1
+    else:
+        D = jnp.dot(
+            th1 * A1, ks_ref[:], preferred_element_type=jnp.float32,
+            precision=prec,
+        )                                                   # [Bt, g]
+        scale_g = w / (D + _EPS)                            # [Bt, g]
+        scale = jnp.dot(
+            scale_g, kst_ref[:], preferred_element_type=jnp.float32,
+            precision=prec,
+        )                                                   # [Bt, gK]
+        scale2 = jnp.dot(
+            scale_g, k2s_ref[:], preferred_element_type=jnp.float32,
+            precision=prec,
+        )                                                   # [Bt, gK2]
 
     s1 = th1 * A1 * scale
     s2 = th2 * A2 * scale
     s3 = th3 * A3 * scale
 
-    scale2 = jnp.dot(
-        scale_g, k2s_ref[:], preferred_element_type=jnp.float32, precision=prec
-    )                                                       # [Bt, gK2]
     V = W * scale2
     contrib = jnp.dot(
         V.T, th3, preferred_element_type=jnp.float32, precision=prec
@@ -142,12 +155,12 @@ def _em_tile_kernel_bdrg(
     def _acc():
         cross_ref[0, 0] += contrib
 
-    theta_hat_ref[:] += (
+    theta_hat_ref[0] += (
         jnp.dot(oh1.T, s1, preferred_element_type=jnp.float32, precision=prec)
         + jnp.dot(oh2.T, s2, preferred_element_type=jnp.float32, precision=prec)
         + jnp.dot(oh3.T, s3, preferred_element_type=jnp.float32, precision=prec)
     )
-    ll_ref[:] += jnp.sum(jnp.log(D + _EPS) * w, axis=0, keepdims=True)
+    ll_ref[0] += jnp.sum(jnp.log(D + _EPS) * w, axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -177,7 +190,12 @@ def _pallas_stats_bdrg(
     assert S % group == 0, (S, group)
     nb = S // group
     gK, gK2 = group * K, group * K2
-    theta_all = jnp.transpose(thetas, (1, 0, 2)).reshape(G, SK)
+    # Group axis LEADING: TPU block specs must take full trailing dims (or
+    # 128-aligned slices), so theta arrives as [nb, G, gK] and each grid
+    # step takes block (1, G, gK) — a column slice of [G, SK] would need
+    # gK % 128 == 0, which the K-band widths (50..125) never satisfy.
+    theta_g = jnp.transpose(thetas, (1, 0, 2)).reshape(G, nb, gK)
+    theta_g = jnp.transpose(theta_g, (1, 0, 2))              # [nb, G, gK]
     Pm_bd, Pkk_bd = _bdr_params(ps.astype(jnp.float32), group)
     E1, E2, KS, K2S = _bd_selectors(K, group)
 
@@ -190,7 +208,7 @@ def _pallas_stats_bdrg(
         in_specs=[
             pl.BlockSpec((tile_b, 3), lambda g, i, tr: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda g, i, tr: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, gK), lambda g, i, tr: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, gK), lambda g, i, tr: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gK, gK2), lambda g, i, tr: (tr[i], g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gK2, gK), lambda g, i, tr: (tr[i], g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gK, gK2), lambda g, i, tr: (0, 0), memory_space=pltpu.VMEM),
@@ -202,18 +220,18 @@ def _pallas_stats_bdrg(
             pl.BlockSpec((group, gK2), lambda g, i, tr: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, gK), lambda g, i, tr: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, gK), lambda g, i, tr: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gK2, gK), lambda g, i, tr: (tr[i], g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group), lambda g, i, tr: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group), lambda g, i, tr: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     theta_hat, cross, ll = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, SK), jnp.float32),
+            jax.ShapeDtypeStruct((nb, G, gK), jnp.float32),
             jax.ShapeDtypeStruct((R, nb, gK2, gK), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, group), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * nb * (6 * G * gK + 7 * gK2 * gK),
@@ -225,7 +243,7 @@ def _pallas_stats_bdrg(
         tile_r,
         triplets,
         weights[:, None].astype(jnp.float32),
-        theta_all.astype(jnp.float32),
+        theta_g.astype(jnp.float32),
         Pm_bd,
         Pkk_bd,
         jnp.asarray(E1),
@@ -236,7 +254,10 @@ def _pallas_stats_bdrg(
         jnp.asarray(KS.T),
         jnp.asarray(K2S),
     )
-    theta_hat = jnp.transpose(theta_hat.reshape(G, S, K), (1, 0, 2))
+    # [nb, G, gK] -> [G, nb, g, K] -> [S, G, K]
+    theta_hat = jnp.transpose(
+        theta_hat.reshape(nb, G, group, K), (0, 2, 1, 3)
+    ).reshape(S, G, K)
     # cross[r, n] is group n's [gK2, gK] block: rows (s, (k,l)), cols
     # (s', m) within the group — take the within-group s == s' diagonal.
     cross6 = cross.reshape(R, nb, group, K2, group, K)
@@ -245,7 +266,7 @@ def _pallas_stats_bdrg(
     s_stats = jnp.transpose(
         s_diag.reshape(S, R, K, K, K), (0, 2, 3, 4, 1)
     )                                                        # [S, K, K, K, R]
-    return theta_hat, s_stats, ll[0, :]
+    return theta_hat, s_stats, ll.reshape(S)
 
 
 def bdrg_em_ensemble_stats(

@@ -982,93 +982,135 @@ def _run_stepwise(
     epoch = start_epoch
     stop = False
     w_total_sh = replicate(mesh, jnp.asarray(w_total_np))
-    while epoch < tcfg.sweeps and not stop:
+
+    # --- host-side prep, one dispatch group at a time -----------------
+    # Measured at 10^7 memmapped rows (tools/stepwise_host_cost.py,
+    # 2026-08-20): host prep costs ~9.6x the bdr kernel's device time per
+    # epoch (2.45 s vs 0.26 s; gather 1.33 s + permutation 0.64 s + rsort
+    # 0.48 s) — the streaming path is HOST-bound.  A one-group-lookahead
+    # prefetch thread (below) overlaps device execution with the next
+    # group's prep, so epoch wall-clock ~= host time instead of
+    # host + device (ADVICE r3; VERDICT r3 weak #5).
+
+    def _epoch_perm(ep: int) -> np.ndarray:
         # (seed, epoch)-derived shuffle — replayable across resume.  The
         # permutation runs over the VIRTUAL padded index space (bit-
         # identical to the old pad_to(mb) layout); the index array is the
         # only O(N) host object, ~8 bytes/row vs the dataset's ~20.
-        rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (epoch + 1))
-        perm = rng.permutation(n_padded)
-        ll_groups = []
-        for d in range(n_dispatch):
-            # One group of minibatches on device at a time; _host_rows is
-            # the only host materialization (group*mb rows), reading
-            # through the (possibly memory-mapped) dataset arrays.
-            gperm = perm[d * group * mb : (d + 1) * group * mb]
-            trip, rat, wts = _host_rows(gperm)
-            if sw_rsort:
-                # Per-minibatch rating sort into the fixed padded layout
-                # (class padding weight-0; tile table rides the scan).
-                trip_g = np.empty((group, mb_b, arity), np.int32)
-                rat_g = np.empty((group, mb_b), np.int32)
-                wts_g = np.empty((group, mb_b), np.float32)
-                tiler_g = np.empty((group, d_sh * ft), np.int32)
-                for m in range(group):
-                    sl = slice(m * mb, (m + 1) * mb)
-                    plan = rating_sort_pad(
-                        rat[sl], R, tile=sw_tile, n_shards=d_sh, n_tiles=ft
-                    )
-                    t_, r_, w_ = apply_rating_sort(
-                        plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
-                    )
-                    trip_g[m], rat_g[m], wts_g[m] = t_, r_, w_
-                    tiler_g[m] = plan.tile_r
-                batches = Batch(
-                    triplets=jax.device_put(trip_g, mb_sharding),
-                    ratings=jax.device_put(rat_g, mb_sharding),
-                    weights=jax.device_put(wts_g, mb_sharding),
-                    tile_rating=jax.device_put(tiler_g, mb_sharding),
-                )
-            else:
-                batches = Batch(
-                    triplets=jax.device_put(
-                        trip.reshape(group, mb, arity), mb_sharding
-                    ),
-                    ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
-                    weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
-                )
-            states, ema, ll_g, t = epoch_step(
-                states, ema, t, batches, deg_sh, w_total_sh
-            )
-            ll_groups.append(ll_g)
-        ll = jnp.mean(jnp.stack(ll_groups), axis=0)
-        epoch += 1
+        rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (ep + 1))
+        return rng.permutation(n_padded)
 
-        def _stepwise_extra():
-            # The EMA statistics carry + update counter — everything beyond
-            # (theta, p) a stepwise unit needs to resume exactly.
-            return {
-                "ema_theta_hat": np.asarray(ema.theta_hat),
-                "ema_p_hat": np.asarray(ema.p_hat),
-                "ema_loglik": np.asarray(ema.loglik),
-                "stepwise_t": np.asarray(t, dtype=np.float32),
-            }
-        if epoch % freq == 0 or epoch == tcfg.sweeps:
-            ll_np = np.asarray(ll, dtype=np.float64)
-            ll_rows.append(ll_np)
-            dt = time.perf_counter() - t0_wall
-            log.log(
-                "epoch",
-                epoch=epoch,
-                ll_best=float(ll_np.max()),
-                ll_mean=float(ll_np.mean()),
-                triplets_per_sec=epoch * n_real / max(dt, 1e-9),
+    _perm_cache: dict = {}
+
+    def _prep_group(ep: int, d: int) -> Batch:
+        """Gather + (optionally) rating-sort + device_put one dispatch
+        group.  Runs on the single prefetch thread — no locking needed;
+        the perm cache holds only the epoch being prepped."""
+        if _perm_cache.get("ep") != ep:
+            _perm_cache["ep"] = ep
+            _perm_cache["perm"] = _epoch_perm(ep)
+        perm = _perm_cache["perm"]
+        # One group of minibatches on device at a time; _host_rows is
+        # the only host materialization (group*mb rows), reading
+        # through the (possibly memory-mapped) dataset arrays.
+        gperm = perm[d * group * mb : (d + 1) * group * mb]
+        trip, rat, wts = _host_rows(gperm)
+        if sw_rsort:
+            # Per-minibatch rating sort into the fixed padded layout
+            # (class padding weight-0; tile table rides the scan).
+            trip_g = np.empty((group, mb_b, arity), np.int32)
+            rat_g = np.empty((group, mb_b), np.int32)
+            wts_g = np.empty((group, mb_b), np.float32)
+            tiler_g = np.empty((group, d_sh * ft), np.int32)
+            for m in range(group):
+                sl = slice(m * mb, (m + 1) * mb)
+                plan = rating_sort_pad(
+                    rat[sl], R, tile=sw_tile, n_shards=d_sh, n_tiles=ft
+                )
+                t_, r_, w_ = apply_rating_sort(
+                    plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
+                )
+                trip_g[m], rat_g[m], wts_g[m] = t_, r_, w_
+                tiler_g[m] = plan.tile_r
+            return Batch(
+                triplets=jax.device_put(trip_g, mb_sharding),
+                ratings=jax.device_put(rat_g, mb_sharding),
+                weights=jax.device_put(wts_g, mb_sharding),
+                tile_rating=jax.device_put(tiler_g, mb_sharding),
             )
-            if tcfg.tol > 0 and prev_check is not None:
-                if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
-                    stop = True
-                    log.log("early_stop", epoch=epoch, tol=tcfg.tol)
-            prev_check = ll_np
-        if ce > 0 and epoch % ce == 0:
-            save_checkpoint(
-                checkpoint_path,
-                ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
-                epoch,
-                np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
-                config_json=config_json,
-                extra={**_stepwise_extra(),
-                       **_dispatch_extra(dispatch_info or {})},
-            )
+        return Batch(
+            triplets=jax.device_put(
+                trip.reshape(group, mb, arity), mb_sharding
+            ),
+            ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
+            weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep_pool = ThreadPoolExecutor(max_workers=1)
+    prep_future = None
+    try:
+        while epoch < tcfg.sweeps and not stop:
+            ll_groups = []
+            for d in range(n_dispatch):
+                if prep_future is None:
+                    prep_future = prep_pool.submit(_prep_group, epoch, d)
+                batches = prep_future.result()
+                # Schedule the NEXT group's prep before dispatching this
+                # one: epoch_step returns as soon as the work is enqueued
+                # (async dispatch), so the prefetch thread gathers/sorts
+                # while the device crunches.
+                if d + 1 < n_dispatch:
+                    prep_future = prep_pool.submit(_prep_group, epoch, d + 1)
+                elif epoch + 1 < tcfg.sweeps:
+                    prep_future = prep_pool.submit(_prep_group, epoch + 1, 0)
+                else:
+                    prep_future = None
+                states, ema, ll_g, t = epoch_step(
+                    states, ema, t, batches, deg_sh, w_total_sh
+                )
+                ll_groups.append(ll_g)
+            ll = jnp.mean(jnp.stack(ll_groups), axis=0)
+            epoch += 1
+
+            def _stepwise_extra():
+                # The EMA statistics carry + update counter — everything beyond
+                # (theta, p) a stepwise unit needs to resume exactly.
+                return {
+                    "ema_theta_hat": np.asarray(ema.theta_hat),
+                    "ema_p_hat": np.asarray(ema.p_hat),
+                    "ema_loglik": np.asarray(ema.loglik),
+                    "stepwise_t": np.asarray(t, dtype=np.float32),
+                }
+            if epoch % freq == 0 or epoch == tcfg.sweeps:
+                ll_np = np.asarray(ll, dtype=np.float64)
+                ll_rows.append(ll_np)
+                dt = time.perf_counter() - t0_wall
+                log.log(
+                    "epoch",
+                    epoch=epoch,
+                    ll_best=float(ll_np.max()),
+                    ll_mean=float(ll_np.mean()),
+                    triplets_per_sec=epoch * n_real / max(dt, 1e-9),
+                )
+                if tcfg.tol > 0 and prev_check is not None:
+                    if np.all(np.abs(ll_np - prev_check) < tcfg.tol):
+                        stop = True
+                        log.log("early_stop", epoch=epoch, tol=tcfg.tol)
+                prev_check = ll_np
+            if ce > 0 and epoch % ce == 0:
+                save_checkpoint(
+                    checkpoint_path,
+                    ModelState(theta=np.asarray(states.theta), p=np.asarray(states.p)),
+                    epoch,
+                    np.stack(ll_rows) if ll_rows else np.zeros((0, S)),
+                    config_json=config_json,
+                    extra={**_stepwise_extra(),
+                           **_dispatch_extra(dispatch_info or {})},
+                )
+    finally:
+        prep_pool.shutdown(wait=False)
 
     jax.block_until_ready(states.theta)
     wall = time.perf_counter() - t0_wall
