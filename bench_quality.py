@@ -58,6 +58,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("--tol", type=float, default=TOL)
     ap.add_argument("--backend", default="auto")
     ap.add_argument(
+        "--seed", type=int, default=0,
+        help="restart-init seed (data stays seed=0, so seed sweeps measure "
+        "EM plateau noise on a FIXED dataset — BASELINE.md wide-S study)",
+    )
+    ap.add_argument(
         "--alpha", type=float, default=0.2,
         help="generator Dirichlet concentration.  NOTE: every alpha/G "
         "combination at the N=131k production shape sits at or past the "
@@ -163,7 +168,7 @@ def main() -> None:
     step_kwargs = {} if stats_fn is None else {"stats_fn": stats_fn}
     step = make_sharded_multi_step(mesh, args.freq, **step_kwargs)
 
-    keys = jax.random.split(jax.random.key(0), s)
+    keys = jax.random.split(jax.random.key(args.seed), s)
     states0 = shard_ensemble(
         mesh, jax.vmap(lambda kk: init_state(kk, g, k, R))(keys)
     )
@@ -239,7 +244,8 @@ def main() -> None:
                 "auc_final": round(auc_final, 4),
                 "auc_bayes": round(bayes, 4),
                 "sweeps_to_converged": sweeps_conv,
-                "shape": {"n": n, "g": g, "k": k, "s": s, "alpha": args.alpha},
+                "shape": {"n": n, "g": g, "k": k, "s": s, "alpha": args.alpha,
+                          "seed": args.seed},
             }
         )
     )

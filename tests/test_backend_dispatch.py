@@ -24,12 +24,16 @@ def test_kernel_fits_budget():
 
 
 def test_large_k_single_restart_kernel_fallback():
-    # Ensemble kernel does not fit at K=50 x S=10, but the per-restart
-    # kernel does: dispatch hands back a non-ensemble fn for the
-    # sequential-restart path (lax.map past K >= 32).
+    # Ensemble kernel does not fit at K=50 x S=10; a 2-lane GROUP does,
+    # and measured faster than per-restart (27.2M vs 26.2M upd/s,
+    # on-chip 2026-08-20) — dispatch hands back the grouped ensemble fn.
     fn = resolve_stats_fn("pallas", 1000, 50, n_samples=10)
     assert fn is not None
-    assert not getattr(fn, "ensemble", False)
+    assert getattr(fn, "ensemble", False)
+    assert fn.kernel_name == "pallas-onehot-grouped"
+    # A single restart fits the plain ensemble kernel (S=1 lanes).
+    fn1 = resolve_stats_fn("pallas", 1000, 50, n_samples=1)
+    assert fn1 is not None and getattr(fn1, "tile_b", 0) > 0
     # Small K never takes the fallback: the ensemble kernel fits.
     fn_small = resolve_stats_fn("pallas", 1000, 10, n_samples=8)
     assert getattr(fn_small, "ensemble", False)
@@ -231,7 +235,9 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         (1000, 10, 1, "bdr"),           # bench S=1 datapoint
         (1000, 10, 10, "bdr"),          # the S=10 headline shape
         (1300, 10, 10, "bdr"),          # Kuzmin gene count (shrunken tile)
-        (1000, 50, 10, "single"),       # large-K: per-restart kernel
+        (1000, 50, 10, "grouped"),      # large-K: 2-lane groups share
+                                        # one-hots (27.2M vs 26.2M measured)
+        (1000, 50, 1, "ensemble"),      # S=1: plain kernel fits at K=50
         # Large-K AND wide goes through _pick_group first, and at K=50 a
         # 2-lane group still fits VMEM — so S>10 lane-stacks in pairs while
         # S=10 runs per-restart.  Asserted as-is; tools/kernel_race.py is
@@ -300,7 +306,7 @@ def test_resolved_kernels_carry_tile_b():
     partial by the .tile_b attribute (batch padding gate)."""
     fn = resolve_stats_fn("pallas", 1000, 10, n_samples=8)
     assert getattr(fn, "tile_b", 0) > 0
-    fn1 = resolve_stats_fn("pallas", 1000, 50, n_samples=10)  # single-restart
+    fn1 = resolve_stats_fn("pallas", 1000, 50, n_samples=1)  # single-restart
     assert getattr(fn1, "tile_b", 0) > 0
     # Explicit pallas + wide ensemble resolves to the grouped fn anywhere
     # (no silent TPU-only gate).
@@ -371,13 +377,17 @@ def test_precision_knob_validation_and_threading(monkeypatch):
     with pytest.raises(ValueError, match="precision"):
         resolve_stats_fn("auto", 1000, 10, n_samples=10, precision="hmm")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    def strict_of(fn):
+        kw = getattr(fn, "keywords", None)
+        return kw["strict"] if kw is not None else fn.strict
+
     for shape in [(1000, 10, 10), (1000, 50, 10), (4000, 10, 10)]:
         g, k, s = shape
         fn = resolve_stats_fn("auto", g, k, n_samples=s, precision="strict")
         assert fn is not None
-        assert fn.keywords.get("strict") is True, shape
+        assert strict_of(fn) is True, shape
         fn_fast = resolve_stats_fn("auto", g, k, n_samples=s)
-        assert fn_fast.keywords.get("strict") is False, shape
+        assert strict_of(fn_fast) is False, shape
 
 
 def test_strict_mode_kernel_parity():
@@ -445,3 +455,25 @@ def test_fit_records_dispatch_decision(tmp_path):
     res2 = fit(cfg2, ds)
     assert res2.dispatch["kernel"].startswith("pallas-")
     assert res2.dispatch["tile_b"] >= 128
+
+
+def test_k_band_dispatch(monkeypatch):
+    """Round-4 K-band frontier, pinned by on-chip measurement (N=131k,
+    S=10, 2026-08-20): K=25 keeps the one-hot ensemble kernel (95.3M
+    upd/s vs bdr's 91.6M), K=50 takes 2-lane one-hot groups (27.2M vs
+    26.2M per-restart), K=64 takes the bdrg grid kernel at t64 (11.1M —
+    t128 hits the axon remote-compile ceiling, a calibration bad entry),
+    and K=80+ falls back to jnp (bdrg's compile frontier is K=64)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn25 = resolve_stats_fn("auto", 1000, 25, n_samples=10)
+    assert fn25.kernel_name == "pallas-onehot-ensemble"
+    fn50 = resolve_stats_fn("auto", 1000, 50, n_samples=10)
+    assert fn50.kernel_name == "pallas-onehot-grouped"
+    fn64 = resolve_stats_fn("auto", 1000, 64, n_samples=10)
+    assert fn64.kernel_name in ("pallas-bdrg", "pallas-onehot-single")
+    if fn64.kernel_name == "pallas-bdrg":
+        assert fn64.tile_b == 64, fn64.tile_b
+    fn80 = resolve_stats_fn("auto", 1000, 80, n_samples=10)
+    assert fn80 is None or fn80.kernel_name not in ("pallas-bdrg",)
