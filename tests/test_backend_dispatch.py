@@ -216,7 +216,11 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         if getattr(fn, "needs_rsort", False):
             return "bdr"
         if getattr(fn, "needs_plan", False):
-            return "plan"
+            return (
+                "bd-plan"
+                if getattr(fn, "kernel_name", "") == "pallas-bd-plan"
+                else "plan"
+            )
         if not getattr(fn, "ensemble", False):
             assert isinstance(fn, functools.partial)
             assert fn.func is pallas_em_sufficient_stats
@@ -254,10 +258,13 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         (4_000, 10, 10, "bdr"),         # bdr's G ceiling beats one-hot's
         (6_000, 10, 10, "bdr"),         # measured 102M vs hybrid's 78M
         (8_000, 10, 10, "bdr"),         # measured 87M; hybrid cannot fit
-        (100_000, 10, 10, "plan"),      # large-G scatter-plan path
+        # Large-G: bd-plan (block-diag E-step + plan scatter) measured
+        # 124.8M at G=100k vs the per-restart plan path's 85.2M (round 4);
+        # S=1 has no ensemble loop to batch, so it keeps the plan path.
+        (100_000, 10, 10, "bd-plan"),
         (100_000, 10, 1, "plan"),
-        (500_000, 10, 10, "plan"),      # no G ceiling on the plan path
-        (30_000, 10, 10, "plan"),       # between hybrid ceiling and 100k
+        (500_000, 10, 10, "bd-plan"),   # no G ceiling on either plan path
+        (30_000, 10, 10, "bd-plan"),    # between hybrid ceiling and 100k
     ]
     for g, k, s, expected in cases:
         fn = resolve_stats_fn("auto", g, k, n_samples=s)

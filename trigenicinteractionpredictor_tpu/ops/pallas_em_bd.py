@@ -132,8 +132,11 @@ def _em_tile_kernel_bd(
     k: int,
     n_ratings: int,
     n_samples: int,
+    strict: bool = False,
 ):
     """One pre-gathered tile, whole ensemble per matmul (no S loop)."""
+    # strict: HIGHEST on every MXU matmul (on-chip monotone-L mode).
+    prec = jax.lax.Precision.HIGHEST if strict else None
     i = pl.program_id(0)
     K, R, S = k, n_ratings, n_samples
     Bt = r_ref.shape[0]
@@ -152,16 +155,16 @@ def _em_tile_kernel_bd(
     th1_all, th2_all, th3_all = th1_ref[:], th2_ref[:], th3_ref[:]
 
     # T[b, (s,k,l)] = sum_m th3[b,(s,m)] p_s[k,l,m,r_b]
-    T_all = jnp.dot(th3_all, pm_ref[:], preferred_element_type=jnp.float32)
+    T_all = jnp.dot(th3_all, pm_ref[:], preferred_element_type=jnp.float32, precision=prec)
     T = jnp.zeros((Bt, SK2), jnp.float32)
     for rr in range(R):
         T += T_all[:, rr * SK2 : (rr + 1) * SK2] * r_onehot[:, rr : rr + 1]
 
-    spread1 = jnp.dot(th1_all, e1_ref[:], preferred_element_type=jnp.float32)
-    spread2 = jnp.dot(th2_all, e2_ref[:], preferred_element_type=jnp.float32)
+    spread1 = jnp.dot(th1_all, e1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    spread2 = jnp.dot(th2_all, e2_ref[:], preferred_element_type=jnp.float32, precision=prec)
 
-    A1 = jnp.dot(T * spread2, e1t_ref[:], preferred_element_type=jnp.float32)
-    A2 = jnp.dot(T * spread1, e2t_ref[:], preferred_element_type=jnp.float32)
+    A1 = jnp.dot(T * spread2, e1t_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    A2 = jnp.dot(T * spread1, e2t_ref[:], preferred_element_type=jnp.float32, precision=prec)
 
     # Per-restart denominators and scales, ensemble-wide.
     # Precision note (measured on-chip 2026-08-20): with the MXU's DEFAULT
@@ -173,15 +176,15 @@ def _em_tile_kernel_bd(
     # -28 nats while costing 30% throughput (4.35 vs 3.34 ms/sweep), so
     # DEFAULT stays.
     Dsum = jnp.dot(
-        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32,
+        th1_all * A1, ks_ref[:], preferred_element_type=jnp.float32, precision=prec,
     )                                                       # [Bt, S]
     scale_S = w / (Dsum + _EPS)                             # [Bt, S]
     scale = jnp.dot(
-        scale_S, ks_ref[:].T, preferred_element_type=jnp.float32
+        scale_S, ks_ref[:].T, preferred_element_type=jnp.float32, precision=prec
     )                                                       # [Bt, SK]
 
     W = spread1 * spread2                                   # [Bt, SK2]
-    A3_all = jnp.dot(W, pkk_ref[:], preferred_element_type=jnp.float32)
+    A3_all = jnp.dot(W, pkk_ref[:], preferred_element_type=jnp.float32, precision=prec)
     A3 = jnp.zeros((Bt, SK), jnp.float32)
     for rr in range(R):
         A3 += A3_all[:, rr * SK : (rr + 1) * SK] * r_onehot[:, rr : rr + 1]
@@ -192,14 +195,14 @@ def _em_tile_kernel_bd(
 
     # p statistics: ONE cross matmul for the whole ensemble; only the
     # s == s' diagonal blocks are the wanted stats (XLA extracts outside).
-    scale2 = jnp.dot(scale_S, k2s_ref[:], preferred_element_type=jnp.float32)                                                       # [Bt, SK2]
+    scale2 = jnp.dot(scale_S, k2s_ref[:], preferred_element_type=jnp.float32, precision=prec)                                                       # [Bt, SK2]
     V = W * scale2
     th3r_parts = []
     for rr in range(R):
         th3r_parts.append(th3_all * r_onehot[:, rr : rr + 1])
     th3r = jnp.concatenate(th3r_parts, axis=1)              # [Bt, R*SK]
     cross_ref[:] += jnp.dot(
-        V.T, th3r, preferred_element_type=jnp.float32
+        V.T, th3r, preferred_element_type=jnp.float32, precision=prec
     )
 
     ll_tile = jnp.log(Dsum + _EPS) * w                      # [Bt, S]
@@ -207,7 +210,7 @@ def _em_tile_kernel_bd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "interpret")
+    jax.jit, static_argnames=("tile_b", "interpret", "strict")
 )
 def _bd_estep(
     thetas: jax.Array,    # [S, G, K]
@@ -217,6 +220,7 @@ def _bd_estep(
     weights: jax.Array,
     tile_b: int,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather + block-diag fused E-step.  Returns (s_streams [3, B, SK],
     p-stat s factor [S,K,K,K,R], ll [S])."""
@@ -237,7 +241,7 @@ def _bd_estep(
     th3 = jnp.take(theta_all, triplets[:, 2], axis=0)
 
     kernel = functools.partial(
-        _em_tile_kernel_bd, k=K, n_ratings=R, n_samples=S
+        _em_tile_kernel_bd, k=K, n_ratings=R, n_samples=S, strict=strict
     )
     tile_spec = lambda w_: pl.BlockSpec(  # noqa: E731
         (tile_b, w_), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -319,6 +323,7 @@ def bd_em_ensemble_stats(
     wb: int = 512,
     n_blocks: int = 0,
     interpret: bool | None = None,
+    strict: bool = False,
 ) -> SweepStats:
     """Whole-ensemble fused sweep, block-diagonal MXU algebra (any G).
 
@@ -345,6 +350,7 @@ def bd_em_ensemble_stats(
         batch.weights,
         tile_b=tile_b,
         interpret=interpret,
+        strict=strict,
     )
     theta_hat = _plan_scatter(
         streams, batch.scatter_perm, batch.scatter_lid, batch.scatter_block,

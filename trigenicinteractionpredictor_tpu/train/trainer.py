@@ -241,7 +241,9 @@ def fit(
         _kern = "jnp"
     else:
         _kern = getattr(stats_fn, "kernel_name", None) or getattr(
-            stats_fn, "__name__", type(stats_fn).__name__
+            getattr(stats_fn, "func", stats_fn),
+            "__name__",
+            type(stats_fn).__name__,
         )
     dispatch_info = {
         "kernel": _kern,
