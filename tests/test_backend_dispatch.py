@@ -484,3 +484,54 @@ def test_k_band_dispatch(monkeypatch):
         assert fn64.tile_b == 64, fn64.tile_b
     fn80 = resolve_stats_fn("auto", 1000, 80, n_samples=10)
     assert fn80 is None or fn80.kernel_name not in ("pallas-bdrg",)
+
+
+def test_vmem_calibrate_merge_roundtrip(tmp_path, monkeypatch):
+    """tools/vmem_calibrate.py merge folds probe results into the
+    calibration table and dispatch picks them up (VERDICT r3 item 5)."""
+    import importlib.util
+    import json as _json
+
+    from trigenicinteractionpredictor_tpu.ops import calibration
+
+    spec = importlib.util.spec_from_file_location(
+        "vmem_calibrate", "tools/vmem_calibrate.py"
+    )
+    vc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vc)
+
+    # Redirect the table to a scratch file.
+    scratch = tmp_path / "cal.json"
+    monkeypatch.setattr(calibration, "_CAL_PATH", str(scratch))
+    results = tmp_path / "res.jsonl"
+    rows = [
+        dict(family="bdr", G=1500, K=13, S=10, group=5, tile=256, ok=True,
+             upd_per_s=123),
+        dict(family="bdr", G=1500, K=13, S=10, group=5, tile=512, ok=False,
+             error="JaxRuntimeError", detail="OOM"),
+        dict(family="bdr", G=1500, K=13, S=10, group=2, tile=512, ok=False,
+             error="timeout", detail="alarm"),  # recorded as NOTHING
+    ]
+    results.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    class A:
+        pass
+
+    a = A()
+    a.results = str(results)
+    vc.cmd_merge(a)
+    assert calibration.classify("bdr", 1500, 13, 10, 5, 256) == calibration.GOOD
+    assert calibration.classify("bdr", 1200, 13, 10, 5, 128) == calibration.GOOD
+    assert calibration.classify("bdr", 1500, 13, 10, 5, 512) == calibration.BAD
+    assert calibration.classify("bdr", 1500, 13, 10, 2, 512) == calibration.UNKNOWN
+
+    # emit writes a runnable job file
+    a2 = A()
+    a2.family = "bdr"
+    a2.queue = str(tmp_path)
+    a2.results = str(results)
+    a2.shapes = ["1000,10,10,10,512"]
+    vc.cmd_emit(a2)
+    job = (tmp_path / "cal_bdr.py").read_text()
+    assert "SHAPES = [(1000, 10, 10, 10, 512)]" in job
+    compile(job, "cal_bdr.py", "exec")  # syntactically valid

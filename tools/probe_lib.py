@@ -171,3 +171,69 @@ def probe_bdr(
     except Exception as e:  # OOM / compile failure — record, keep going
         rec.update(ok=False, error=type(e).__name__, detail=str(e)[:500])
     return rec
+
+
+def probe_bd_plan(n, g, k, s, tile, alarm=420, sweeps=20, reps=1, chunk=10):
+    """Compile + time the bd-plan path (block-diag E-step + plan scatter)
+    through the production chained step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.ops.dispatch import (
+        _pallas_bd_plan_fn,
+    )
+    from trigenicinteractionpredictor_tpu.ops.em import Batch
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+        make_scatter_plan,
+    )
+    from trigenicinteractionpredictor_tpu.parallel.mesh import (
+        single_device_mesh,
+    )
+    from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+        make_sharded_multi_step,
+        replicate,
+        shard_batch,
+    )
+
+    rec = dict(n=n, G=g, K=k, S=s, tile=tile, group=s)
+    try:
+        ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=2, seed=0)
+        mesh = single_device_mesh()
+        degrees = replicate(mesh, jnp.asarray(ds.degrees()))
+        fn = _pallas_bd_plan_fn(tile, g)
+        pad_n = -(-n // tile) * tile
+        dsp = ds.pad_to(pad_n)
+        plan = make_scatter_plan(
+            np.asarray(dsp.triplets), g, n_shards=1, wb=fn.wb, tile=tile
+        )
+        batch = shard_batch(
+            mesh,
+            Batch(
+                triplets=jnp.asarray(dsp.triplets),
+                ratings=jnp.asarray(dsp.ratings),
+                weights=jnp.asarray(dsp.weights),
+                scatter_perm=jnp.asarray(plan.perm),
+                scatter_lid=jnp.asarray(plan.lid),
+                scatter_block=jnp.asarray(plan.block),
+            ),
+        )
+        states0 = make_states(mesh, g, k, s)
+        step = make_sharded_multi_step(mesh, chunk, stats_fn=fn)
+        best, ll = with_alarm(
+            alarm, time_step, step, states0, batch, degrees,
+            sweeps=sweeps, chunk=chunk, reps=reps,
+        )
+        rec.update(
+            ok=True,
+            ms_per_sweep=round(best / sweeps * 1e3, 3),
+            upd_per_s=round(n * s * sweeps / best),
+            final_ll=ll,
+        )
+    except ProbeTimeout as e:
+        rec.update(ok=False, error="timeout", detail=str(e))
+    except Exception as e:
+        rec.update(ok=False, error=type(e).__name__, detail=str(e)[:500])
+    return rec
