@@ -255,9 +255,12 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         (1000, 10, 17, "bdr"),
         (1000, 10, 50, "bdr"),          # wide ensemble, single call
         (1000, 10, 100, "bdr"),         # pod-scale ensemble width
-        (4_000, 10, 10, "bdr"),         # bdr's G ceiling beats one-hot's
-        (6_000, 10, 10, "bdr"),         # measured 102M vs hybrid's 78M
-        (8_000, 10, 10, "bdr"),         # measured 87M; hybrid cannot fit
+        (4_000, 10, 10, "bdr"),         # below the G-crossover: bdr 193M
+        # Past G ~ 5000 the G-flat bd-plan path (~167M) beats bdr's
+        # G-scaled one-hot matmuls (135M at 6k, 112M at 8k) — round-4
+        # crossover sweep, 2026-08-20.
+        (6_000, 10, 10, "bd-plan"),
+        (8_000, 10, 10, "bd-plan"),
         # Large-G: bd-plan (block-diag E-step + plan scatter) measured
         # 124.8M at G=100k vs the per-restart plan path's 85.2M (round 4);
         # S=1 has no ensemble loop to batch, so it keeps the plan path.
@@ -288,6 +291,11 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         fn = resolve_stats_fn("auto", 1000, 10, n_samples=s_w)
         assert getattr(fn, "bdr_group", 0) == g_w, (s_w, fn.bdr_group)
 
+    # Stepwise keeps bdr past the crossover (no scatter plan on
+    # reshuffled minibatches):
+    assert kind_of(resolve_stats_fn("auto", 6000, 10, n_samples=10,
+                                    static_rows=False,
+                                    minibatch_rsort=True)) == "bdr"
     # Stepwise (static_rows=False) excludes the row-order-baking kernels:
     # the headline shape falls back to the one-hot ensemble kernel, and
     # the mid-G regime to the hybrid kernel (XLA gather, order-free).
