@@ -154,3 +154,60 @@ def test_plan_shard_consistency():
         )
         recon = seg_lid[real] + 128 * tiles[real]
         np.testing.assert_array_equal(recon, np.sort(stream_g))
+
+
+def test_grouped_bd_plan_matches_vmapped_jnp():
+    """Wide-S large-G band: bd-plan over restart groups under lax.map
+    (round 4) == vmapped jnp stats, including a non-divisor remainder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models import init_state
+    from trigenicinteractionpredictor_tpu.ops.dispatch import (
+        _grouped_bd_plan_fn,
+    )
+    from trigenicinteractionpredictor_tpu.ops.em import (
+        Batch,
+        em_sufficient_stats,
+    )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+        make_scatter_plan,
+    )
+
+    n, g, k, r, tile = 384, 60, 4, 2, 128
+    ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=r, seed=13)
+    ds = ds.pad_to(-(-n // tile) * tile)
+    plan = make_scatter_plan(np.asarray(ds.triplets), g, n_shards=1,
+                             wb=32, tile=tile)
+    batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+        scatter_perm=jnp.asarray(plan.perm),
+        scatter_lid=jnp.asarray(plan.lid),
+        scatter_block=jnp.asarray(plan.block),
+    )
+    plain = Batch(
+        triplets=batch.triplets, ratings=batch.ratings, weights=batch.weights
+    )
+    for S in (4, 5):  # divisor and remainder cases at group=2
+        states = jax.vmap(lambda kk: init_state(kk, g, k, r))(
+            jax.random.split(jax.random.key(S), S)
+        )
+        fn = _grouped_bd_plan_fn(tile, g, group=2, wb=32)
+        stats = fn(states.theta, states.p, batch)
+        ref = jax.vmap(
+            lambda th, p: em_sufficient_stats(
+                th, p, plain, precision=jax.lax.Precision.HIGHEST
+            )
+        )(states.theta, states.p)
+        np.testing.assert_allclose(
+            np.asarray(stats.theta_hat), np.asarray(ref.theta_hat), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats.loglik), np.asarray(ref.loglik), rtol=1e-5
+        )

@@ -177,3 +177,21 @@ def test_time_to_converged_auc(which):
             f"recoverable-config AUC collapsed toward chance: "
             f"{result['auc_final']} < {floor}"
         )
+
+
+def test_wide_large_g_throughput():
+    """S=50 x G=10000 (grouped bd-plan, round 4): the wide-S large-G band
+    previously fell to the jnp path (~5M upd/s); the restart-grouped
+    bd-plan runs it at 172M.  >= 0.7x of the record guards both the
+    grouped wrapper and the G-crossover preference."""
+    result, stderr = _run_bench(
+        ["-g", "10000", "-s", "50", "--sweeps", "40"], timeout=1800
+    )
+    assert "large-G plan" in stderr, (
+        f"G=10k/S=50 did not dispatch to a plan path:\n{stderr[-1000:]}"
+    )
+    floor = RECORDS["floor_fraction"] * RECORDS["records"]["bd_plan_wide_s50_g10k"]
+    assert result["value"] >= floor, (
+        f"wide large-G throughput regressed: {result['value']:.3g} < "
+        f"{floor:.3g}; bench stderr:\n{stderr[-1000:]}"
+    )
