@@ -211,3 +211,37 @@ def test_grouped_bd_plan_matches_vmapped_jnp():
         np.testing.assert_allclose(
             np.asarray(stats.loglik), np.asarray(ref.loglik), rtol=1e-5
         )
+
+
+def test_fit_dispatches_bd_plan_past_crossover(tmp_path):
+    """backend='pallas' at G past the bdr/bd-plan crossover (G>5000, S>=2)
+    resolves to the bd-plan kernel and trains end-to-end through fit()
+    (interpret mode on CPU), matching the jnp fit."""
+    import numpy as np
+
+    from trigenicinteractionpredictor_tpu.config import (
+        Config,
+        EngineConfig,
+        TrainConfig,
+    )
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.train.trainer import fit
+
+    ds, _, _ = sample_synthetic_dataset(1500, 5200, 4, n_ratings=2, seed=3)
+
+    def cfg(backend):
+        return Config(
+            train=TrainConfig(k=4, sweeps=4, samples=2, likelihood_freq=2),
+            engine=EngineConfig(backend=backend, tile_b=128,
+                                batch_pad_multiple=128),
+            out_dir=str(tmp_path),
+        )
+
+    res = fit(cfg("pallas"), ds)
+    assert res.dispatch["kernel"] == "pallas-bd-plan", res.dispatch
+    ref = fit(cfg("jnp"), ds)
+    np.testing.assert_allclose(
+        res.final_loglik, ref.final_loglik, rtol=1e-4
+    )
