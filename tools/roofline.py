@@ -66,6 +66,12 @@ def path_overhead_flops(path: str, g: int, k: int, s: int, wb: int | None) -> fl
         # per-group cross 2*gr*K^3 — group-fold, not S-fold, overcompute.
         gr = _pick_group(s, k)
         return 12.0 * g * k + 14.0 * gr * k**3
+    if path == "bd-plan":
+        # No G-sized matmuls; the block-diagonal stages run at FULL
+        # ensemble width (group == S: the bd kernel has no sub-grouping),
+        # so overcompute is 14*S*K^3 per restart-update, plus the sorted-
+        # stream scatter's 6 wb K (same as the plan path).
+        return 14.0 * s * k**3 + 6.0 * (wb or 512) * k
     raise ValueError(path)
 
 
@@ -92,7 +98,7 @@ def path_hbm_bytes(path: str, g: int, k: int, s: int, wb: int | None) -> float:
     if path == "hybrid":
         # XLA gather writes th1..3 [B, SK]; kernel reads them back.
         return row_in + 2 * 3 * sk * 4 / s
-    if path == "plan":
+    if path in ("plan", "bd-plan"):
         # th gather (w+r) + s-stream write + perm-gather (r+w) + scatter read.
         return row_in + (2 * 3 + 3 + 3 * 2 + 3) * sk * 4 / s
     raise ValueError(path)
@@ -132,7 +138,7 @@ def analyze(rec: dict) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--from-jsonl", help="kernel_race.py output file")
-    ap.add_argument("--path", choices=["onehot", "hybrid", "plan", "bdr"])
+    ap.add_argument("--path", choices=["onehot", "hybrid", "plan", "bdr", "bd-plan"])
     ap.add_argument("--g", type=int)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--s", type=int, default=10)
