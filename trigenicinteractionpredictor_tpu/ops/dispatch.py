@@ -101,9 +101,13 @@ def bdr_kernel_fits(
     one may OOM inside this envelope).  This is an envelope of measured
     shapes, not a residency model — Mosaic streams more than a naive sum
     admits.
-    K cap: K=25/50 shapes compile-probed OK at N=32k but threw remote-
-    compile 500s at production N=131k (and wedged the relay connection,
-    twice); K-grid configs keep the proven per-restart kernel path.
+    K cap (round 4 update): bdr FITS to K=25 at t128 (calibration good
+    entries) but measured SLOWER there than the one-hot ensemble kernel
+    (91.6M vs 95.3M at N=131k) — resolve_stats_fn prefers bdr only to
+    K<=20.  The round-3 "remote-compile 500" is a pinned body-size x
+    grid-count compile-helper ceiling (t256/K25 compiles at 257 grid
+    steps, fails at 384+; failures are clean JaxRuntimeErrors, no longer
+    relay wedges); the failing shapes are calibration bad entries.
     """
     s = max(n_samples, 1)
     g = group or _pick_bdr_group(s, k)
