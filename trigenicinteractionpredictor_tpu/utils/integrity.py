@@ -44,11 +44,13 @@ def _code_fingerprint() -> str:
 
     import trigenicinteractionpredictor_tpu.ops.em as em_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em as pk_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em_bd as bd_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_bdr as bdr_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em_large as lg_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted as rs_mod
 
     h = hashlib.sha256()
-    for mod in (em_mod, pk_mod, bdr_mod, rs_mod):
+    for mod in (em_mod, pk_mod, bd_mod, bdr_mod, lg_mod, rs_mod):
         with open(mod.__file__, "rb") as fh:
             h.update(fh.read())
     h.update(jax.__version__.encode())
@@ -183,6 +185,76 @@ def _probe_result(
                 lambda th, p, t, rr, w: run_bdr(th, p, Batch(t, rr, w))
             )(*dev_args)
             ok = check("bdr", [np.asarray(x) for x in out])
+    if ok and platform == "tpu" and arity == 3:
+        # Probe the bd-plan path too — the large-G dispatch default since
+        # round 4 (block-diag E-step + sorted-block plan scatter).  A
+        # 2-lane ensemble of IDENTICAL states exercises the block-diagonal
+        # width; lane 0 must match the CPU reference and both lanes must
+        # agree exactly.
+        from trigenicinteractionpredictor_tpu.ops.dispatch import (
+            _fit_bd_plan_tile,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+            bd_em_ensemble_stats,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+            make_scatter_plan,
+        )
+
+        tile_bd = _fit_bd_plan_tile(k, 256, 2)
+        if tile_bd is not None:
+          try:
+            pad_n = -(-n // tile_bd) * tile_bd
+            trip_p = np.zeros((pad_n, arity), np.int32)
+            trip_p[:n] = trip
+            rat_p = np.zeros(pad_n, np.int32)
+            rat_p[:n] = ratings
+            w_p = np.zeros(pad_n, np.float32)
+            w_p[:n] = weights
+            plan = make_scatter_plan(trip_p, g, n_shards=1, wb=256,
+                                     tile=tile_bd)
+            n_blocks = -(-g // 256)
+
+            def run_bd(th, p, b):
+                out = bd_em_ensemble_stats(
+                    jnp.stack([th, th]), jnp.stack([p, p]), b,
+                    tile_b=tile_bd, wb=256, n_blocks=n_blocks,
+                    interpret=False,
+                )
+                return out
+
+            dev_args = [
+                jax.device_put(jnp.asarray(a), dev)
+                for a in (theta_np, p_np, trip_p, rat_p, w_p)
+            ]
+            pl_args = [
+                jax.device_put(jnp.asarray(a), dev)
+                for a in (plan.perm, plan.lid, plan.block)
+            ]
+            out2 = jax.jit(
+                lambda th, p, t, rr, w, sp, sl, sb: run_bd(
+                    th, p,
+                    Batch(t, rr, w, scatter_perm=sp, scatter_lid=sl,
+                          scatter_block=sb),
+                )
+            )(*dev_args, *pl_args)
+            lane0 = [np.asarray(x)[0] for x in out2]
+            lane1 = [np.asarray(x)[1] for x in out2]
+            ok = check("bd-plan", lane0)
+            if ok:
+                for name, a, b in zip(("theta_hat", "p_hat", "loglik"),
+                                      lane0, lane1):
+                    if not np.array_equal(a, b):
+                        warnings.warn(
+                            f"integrity probe [bd-plan] lane disagreement "
+                            f"on {name}"
+                        )
+                        ok = False
+                        break
+          except Exception as e:  # harness error, not a compute mismatch:
+            # warn and keep the verdict — a probe-plumbing bug must not
+            # spuriously block every fit (mismatches above still fail).
+            warnings.warn(f"integrity probe [bd-plan] skipped: {e!r}")
     return ok
 
 
