@@ -240,17 +240,14 @@ def _probe_result(
             )(*dev_args, *pl_args)
             lane0 = [np.asarray(x)[0] for x in out2]
             lane1 = [np.asarray(x)[1] for x in out2]
-            ok = check("bd-plan", lane0)
-            if ok:
-                for name, a, b in zip(("theta_hat", "p_hat", "loglik"),
-                                      lane0, lane1):
-                    if not np.array_equal(a, b):
-                        warnings.warn(
-                            f"integrity probe [bd-plan] lane disagreement "
-                            f"on {name}"
-                        )
-                        ok = False
-                        break
+            # BOTH lanes must match the host reference at the probe
+            # tolerance.  Bitwise lane equality is deliberately NOT
+            # required: identical inputs in different block-diagonal lane
+            # positions measured small theta_hat differences on the real
+            # MXU (caught by this probe's first on-chip run, 2026-08-21)
+            # — position-dependent accumulation noise, which the
+            # lane-vs-reference checks bound at _TOL either way.
+            ok = check("bd-plan[0]", lane0) and check("bd-plan[1]", lane1)
           except Exception as e:  # harness error, not a compute mismatch:
             # warn and keep the verdict — a probe-plumbing bug must not
             # spuriously block every fit (mismatches above still fail).
