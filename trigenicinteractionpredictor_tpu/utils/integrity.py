@@ -243,8 +243,9 @@ def _probe_result(
             # BOTH lanes must match the host reference at the probe
             # tolerance.  Bitwise lane equality is deliberately NOT
             # required: identical inputs in different block-diagonal lane
-            # positions measured small theta_hat differences on the real
-            # MXU (caught by this probe's first on-chip run, 2026-08-21)
+            # positions measured theta_hat differences of 4.9e-4 on scale
+            # 119 (~4e-6 relative) on the real MXU, with p_hat/loglik
+            # bitwise equal (first on-chip run of this probe, 2026-08-21)
             # — position-dependent accumulation noise, which the
             # lane-vs-reference checks bound at _TOL either way.
             ok = check("bd-plan[0]", lane0) and check("bd-plan[1]", lane1)
