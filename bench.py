@@ -122,7 +122,9 @@ def measure_engine(args) -> float:
     chunk = 10
 
     def run(n_samples: int, reps: int = 3) -> float:
-        stats_fn = resolve_stats_fn(args.backend, G, K, n_samples=n_samples)
+        stats_fn = resolve_stats_fn(
+            args.backend, G, K, n_samples=n_samples, n_rows=N
+        )
         log(f"S={n_samples} backend: {'pallas kernel' if stats_fn else 'jnp/XLA'}")
         bench_batch = raw_batch
         if getattr(stats_fn, "needs_rsort", False):

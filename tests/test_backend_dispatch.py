@@ -513,12 +513,12 @@ def test_vmem_calibrate_merge_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setattr(calibration, "_CAL_PATH", str(scratch))
     results = tmp_path / "res.jsonl"
     rows = [
-        dict(family="bdr", G=1500, K=13, S=10, group=5, tile=256, ok=True,
-             upd_per_s=123),
-        dict(family="bdr", G=1500, K=13, S=10, group=5, tile=512, ok=False,
-             error="JaxRuntimeError", detail="OOM"),
-        dict(family="bdr", G=1500, K=13, S=10, group=2, tile=512, ok=False,
-             error="timeout", detail="alarm"),  # recorded as NOTHING
+        dict(family="bdr", n=65536, G=1500, K=13, S=10, group=5, tile=256,
+             ok=True, upd_per_s=123),
+        dict(family="bdr", n=65536, G=1500, K=13, S=10, group=5, tile=512,
+             ok=False, error="JaxRuntimeError", detail="OOM"),
+        dict(family="bdr", n=65536, G=1500, K=13, S=10, group=2, tile=512,
+             ok=False, error="timeout", detail="alarm"),  # recorded as NOTHING
     ]
     results.write_text("\n".join(_json.dumps(r) for r in rows))
 
@@ -528,8 +528,26 @@ def test_vmem_calibrate_merge_roundtrip(tmp_path, monkeypatch):
     a = A()
     a.results = str(results)
     vc.cmd_merge(a)
-    assert calibration.classify("bdr", 1500, 13, 10, 5, 256) == calibration.GOOD
-    assert calibration.classify("bdr", 1200, 13, 10, 5, 128) == calibration.GOOD
+    # GOOD entries carry the probe N (round 5): they prove n <= probe N
+    # only — the axon compile ceiling is grid-count-dependent.
+    assert (
+        calibration.classify("bdr", 1500, 13, 10, 5, 256, n=65536)
+        == calibration.GOOD
+    )
+    assert (
+        calibration.classify("bdr", 1200, 13, 10, 5, 128, n=32768)
+        == calibration.GOOD
+    )
+    assert (
+        calibration.classify("bdr", 1500, 13, 10, 5, 256, n=131072)
+        == calibration.UNKNOWN
+    ), "a GOOD probe at N=65k must not admit N=131k (compile ceiling)"
+    # BAD entries veto N-independently (can't distinguish VMEM OOM from
+    # the compile ceiling in the truncated HTTP-500 detail).
+    assert (
+        calibration.classify("bdr", 1500, 13, 10, 5, 512, n=32768)
+        == calibration.BAD
+    )
     assert calibration.classify("bdr", 1500, 13, 10, 5, 512) == calibration.BAD
     assert calibration.classify("bdr", 1500, 13, 10, 2, 512) == calibration.UNKNOWN
 

@@ -148,10 +148,18 @@ def cmd_merge(args) -> int:
             shape = (rec["G"], rec["K"], rec["S"],
                      rec.get("group", rec["S"]), rec["tile"])
             if rec.get("ok"):
-                calibration.record(fam, shape, True)
+                # GOOD entries carry the probe N (round 5): compile
+                # success is N-dependent (grid-count x body-size
+                # ceiling), so a good probe proves only n <= probe N.
+                calibration.record(
+                    fam,
+                    (*shape, rec.get("n", calibration.LEGACY_PROBE_N)),
+                    True,
+                )
                 n_good += 1
             elif rec.get("error") in ("JaxRuntimeError", "XlaRuntimeError"):
                 # compile/VMEM rejection on real hardware -> bad entry
+                # (kept N-independent: see ops/calibration.py docstring)
                 calibration.record(fam, shape, False)
                 n_bad += 1
             else:

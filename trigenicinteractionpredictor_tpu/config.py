@@ -83,7 +83,20 @@ class TrainConfig:
     # (stream_groups * minibatch rows) instead of the whole epoch.  Pair
     # with TripletDataset.load_dir(mmap=True) so the host side streams off
     # disk too.  0 = whole epoch per dispatch (fastest when data fits HBM).
+    # NOTE: with stream_prefetch on (the default), the NEXT group is
+    # transferred while the current one is still resident, so size
+    # stream_groups for TWO groups of HBM headroom — or set
+    # stream_prefetch=False for strict one-group residency (ADVICE r4).
     stream_groups: int = 0
+    # One-group-lookahead prefetch: overlap the next group's host prep +
+    # host->device transfer with device execution.  Costs up to 2x group
+    # residency in HBM (see stream_groups); turn off for HBM-tight runs.
+    stream_prefetch: bool = True
+    # Host-prep process pool (train/stream_prep.py): 0 = auto (pool only
+    # when there are spare cores and >= ~1M rows per group), 1 = always
+    # in-thread (vectorized single-thread prep), N >= 2 = pool of N
+    # spawn workers writing into shared memory.
+    stream_prep_workers: int = 0
     # --- quality knobs beyond the reference's EM (all default OFF so the
     # default configuration reproduces reference parity; VERDICT round 1
     # item 1 / BASELINE.json:5 "match or beat") -------------------------

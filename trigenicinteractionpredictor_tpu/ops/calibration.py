@@ -22,6 +22,18 @@ fixed kernel family and fixed (K, group):
 - Nothing is assumed across K or group: K changes every K^2/K^3 buffer
   super-linearly, and group width is measurably NON-monotone (the
   t256/K20/g2 trap).
+- Dataset size N (round 5, ADVICE r4): the axon compile helper has a
+  body-size x grid-count ceiling, so compile success is N-DEPENDENT
+  (bdr t256/K25 compiles at N=65k, 500s at 98k+).  Entries may carry a
+  sixth element, the probe N; a GOOD entry proves only queries with
+  n <= probe N (more rows = more grid steps = closer to the ceiling).
+  Legacy 5-element GOOD entries were all probed at N=131072
+  (tools/vmem_calibrate.py's hard-coded probe size).  BAD entries stay
+  N-INDEPENDENT vetoes regardless of their probe N: the truncated
+  HTTP-500 detail cannot distinguish a VMEM OOM (N-independent) from
+  the compile ceiling (N-dependent), and over-vetoing a small dataset
+  merely falls back to the next kernel family / the analytic envelope,
+  while under-vetoing would OOM at runtime.
 
 When the table is absent (fresh checkout, non-TPU CI) every query
 returns UNKNOWN and dispatch behaves exactly as before.
@@ -43,7 +55,11 @@ _lock = threading.Lock()
 _cache: Optional[Dict] = None
 _cache_mtime: Optional[float] = None
 
-Shape = Tuple[int, int, int, int, int]  # (G, K, S, group, tile)
+Shape = Tuple[int, ...]  # (G, K, S, group, tile[, probe_n])
+
+# Every pre-round-5 probe ran at this dataset size (tools/vmem_calibrate.py
+# JOB_TEMPLATE); 5-element GOOD entries are interpreted as probed here.
+LEGACY_PROBE_N = 131072
 
 
 def _load() -> Dict:
@@ -66,17 +82,29 @@ def _load() -> Dict:
 
 
 def classify(
-    family: str, g: int, k: int, s: int, group: int, tile: int
+    family: str, g: int, k: int, s: int, group: int, tile: int, n: int = 0
 ) -> str:
-    """GOOD / BAD / UNKNOWN for one (family, shape) query."""
+    """GOOD / BAD / UNKNOWN for one (family, shape) query.
+
+    ``n`` is the dataset row count (post-padding); 0 = unknown, treated
+    as the production probe size so callers that do not know N keep the
+    pre-round-5 behavior exactly.
+    """
     table = _load().get(family)
     if not table:
         return UNKNOWN
-    for eg, ek, es, egr, et in table.get(BAD, ()):  # bad first: it vetoes
+    qn = n or LEGACY_PROBE_N
+    for e in table.get(BAD, ()):  # bad first: it vetoes; N-independent
+        eg, ek, es, egr, et = e[:5]
         if ek == k and egr == group and g >= eg and s >= es and tile >= et:
             return BAD
-    for eg, ek, es, egr, et in table.get(GOOD, ()):
-        if ek == k and egr == group and g <= eg and s <= es and tile <= et:
+    for e in table.get(GOOD, ()):
+        eg, ek, es, egr, et = e[:5]
+        en = e[5] if len(e) > 5 else LEGACY_PROBE_N
+        if (
+            ek == k and egr == group and g <= eg and s <= es
+            and tile <= et and qn <= en
+        ):
             return GOOD
     return UNKNOWN
 
@@ -84,7 +112,11 @@ def classify(
 def record(
     family: str, shape: Shape, ok: bool, path: Optional[str] = None
 ) -> None:
-    """Append one probe result (used by tools/vmem_calibrate.py)."""
+    """Append one probe result (used by tools/vmem_calibrate.py).
+
+    ``shape`` is (G, K, S, group, tile) or, for GOOD entries, optionally
+    (G, K, S, group, tile, probe_n) — see the module docstring's N rule.
+    """
     path = path or _CAL_PATH
     try:
         with open(path) as fh:

@@ -83,7 +83,7 @@ def _pick_bdr_group(s: int, k: int) -> int:
 
 def bdr_kernel_fits(
     n_genes: int, k: int, tile_b: int = 512, n_samples: int = 1,
-    group: int = 0,
+    group: int = 0, n_rows: int = 0,
 ) -> bool:
     """VMEM envelope for the bdr kernel (ops/pallas_em_bdr.py).
 
@@ -116,7 +116,7 @@ def bdr_kernel_fits(
     # decides shapes it has seen — it both vetoes analytic-admitted shapes
     # that OOM on real hardware (the t256/K20/g2 trap) and admits shapes
     # the analytic caps below would refuse (e.g. probed-good K=25 bands).
-    verdict = calibration.classify("bdr", n_genes, k, s, g, tile_b)
+    verdict = calibration.classify("bdr", n_genes, k, s, g, tile_b, n=n_rows)
     if verdict == calibration.BAD:
         return False
     if verdict == calibration.GOOD:
@@ -140,7 +140,8 @@ def bdr_kernel_fits(
 
 
 def _fit_bdr_tile(
-    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0,
+    n_rows: int = 0,
 ) -> Optional[Tuple[int, int]]:
     """Largest (tile, group) the bdr envelope admits, or None.
 
@@ -157,14 +158,14 @@ def _fit_bdr_tile(
     forced_narrow = bool(group) and group < picked
     t = tile_b
     while t >= 128:
-        if bdr_kernel_fits(n_genes, k, t, n_samples, group=g):
+        if bdr_kernel_fits(n_genes, k, t, n_samples, group=g, n_rows=n_rows):
             if forced_narrow and (
-                calibration.classify("bdr", n_genes, k, s, g, t)
+                calibration.classify("bdr", n_genes, k, s, g, t, n=n_rows)
                 != calibration.GOOD
             ):
                 t //= 2  # stricter bound: one halving below the envelope
                 if t < 128 or not bdr_kernel_fits(
-                    n_genes, k, t, n_samples, group=g
+                    n_genes, k, t, n_samples, group=g, n_rows=n_rows
                 ):
                     return None
             return t, g
@@ -221,7 +222,8 @@ def _fit_hybrid_tile(
 
 
 def bdrg_kernel_fits(
-    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0,
+    n_rows: int = 0,
 ) -> bool:
     """VMEM heuristic for the bdrg kernel (ops/pallas_em_bdrg.py).
 
@@ -237,7 +239,7 @@ def bdrg_kernel_fits(
     """
     s = max(n_samples, 1)
     g = group or 1
-    verdict = calibration.classify("bdrg", n_genes, k, s, g, tile_b)
+    verdict = calibration.classify("bdrg", n_genes, k, s, g, tile_b, n=n_rows)
     if verdict == calibration.BAD:
         return False
     if verdict == calibration.GOOD:
@@ -255,7 +257,8 @@ def bdrg_kernel_fits(
 
 
 def _fit_bdrg_tile(
-    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0
+    n_genes: int, k: int, tile_b: int, n_samples: int = 1, group: int = 0,
+    n_rows: int = 0,
 ) -> Optional[Tuple[int, int]]:
     """Largest (tile, group) bdrg admits; tile floor 64 (the K>50 band's
     gK2-wide slabs push tiles below the usual 128 floor — fine for the
@@ -268,7 +271,7 @@ def _fit_bdrg_tile(
         g = max(divs) if divs else 1
     t = tile_b
     while t >= 64:
-        if bdrg_kernel_fits(n_genes, k, t, n_samples, group=g):
+        if bdrg_kernel_fits(n_genes, k, t, n_samples, group=g, n_rows=n_rows):
             return t, g
         t //= 2
     return None
@@ -348,7 +351,7 @@ def _fit_large_tile(
 
 def bd_plan_kernel_fits(
     k: int, tile_b: int, n_samples: int = 1, n_genes: int = 0,
-    n_ratings: int = 2, wb: int = _LARGE_G_WB,
+    n_ratings: int = 2, wb: int = _LARGE_G_WB, n_rows: int = 0,
 ) -> bool:
     """VMEM model for the bd-plan path (ops/pallas_em_bd.py): block-
     diagonal ensemble algebra between the XLA gather and the sorted-block
@@ -362,7 +365,13 @@ def bd_plan_kernel_fits(
     in 7 consecutive runs; see BASELINE.md round-4 large-G section.
     """
     s = max(n_samples, 1)
-    verdict = calibration.classify("bd-plan", n_genes, k, s, s, tile_b)
+    # n_genes MUST be threaded by callers (ADVICE r4): querying at G=0
+    # made every BAD entry recorded at large G unreachable (query G >=
+    # entry G never held), silently disabling the table's veto for this
+    # family.
+    verdict = calibration.classify(
+        "bd-plan", n_genes, k, s, s, tile_b, n=n_rows
+    )
     if verdict == calibration.BAD:
         return False
     if verdict == calibration.GOOD:
@@ -378,26 +387,28 @@ def bd_plan_kernel_fits(
 
 
 def _fit_bd_plan_tile(
-    k: int, tile_b: int, n_samples: int = 1
+    k: int, tile_b: int, n_samples: int = 1, n_genes: int = 0,
+    n_rows: int = 0,
 ) -> Optional[int]:
     t = tile_b
     while t >= 128:
-        if bd_plan_kernel_fits(k, t, n_samples):
+        if bd_plan_kernel_fits(k, t, n_samples, n_genes=n_genes,
+                               n_rows=n_rows):
             return t
         t //= 2
     return None
 
 
-def _pick_bd_plan_group(k: int, tile_b: int, n_samples: int) -> Optional[
-    Tuple[int, int]
-]:
+def _pick_bd_plan_group(
+    k: int, tile_b: int, n_samples: int, n_genes: int = 0, n_rows: int = 0
+) -> Optional[Tuple[int, int]]:
     """(tile, group) for a restart-grouped bd-plan call: the widest group
     whose S^2*K^3 operands fit, preferring divisors of S (one compiled
     kernel instead of two).  The bd kernel has no unrolled restart loop,
     so unlike the one-hot family the cap is pure VMEM."""
     best = None
     for g in range(min(n_samples, 16), 1, -1):
-        t = _fit_bd_plan_tile(k, tile_b, g)
+        t = _fit_bd_plan_tile(k, tile_b, g, n_genes=n_genes, n_rows=n_rows)
         if t is None:
             continue
         if n_samples % g == 0:
@@ -477,6 +488,7 @@ def resolve_stats_fn(
     bdr_group: int = 0,
     minibatch_rsort: bool = False,
     precision: str = "fast",
+    n_rows: int = 0,
 ) -> Optional[Callable]:
     """Return a stats_fn override for the sharded EM step, or None for jnp.
 
@@ -503,6 +515,11 @@ def resolve_stats_fn(
     ``precision``: 'fast' (MXU DEFAULT, the measured-fastest mode) or
     'strict' (HIGHEST on every kernel matmul — the on-chip monotone-
     likelihood mode, EngineConfig.precision).
+
+    ``n_rows`` (0 = unknown) is the per-shard dataset row count; the
+    calibration table uses it to refuse GOOD verdicts probed at smaller
+    N (the axon compile ceiling is grid-count-dependent — see
+    ops/calibration.py).  Unknown keeps the production-N assumption.
 
     Every returned fn carries ``kernel_name``/``tile_b`` (and
     ``bdr_group`` on the bdr path) so the trainer can serialize the
@@ -550,19 +567,25 @@ def resolve_stats_fn(
     # minibatches).
     bd_plan_pick: Optional[Tuple[int, int]] = None  # (tile, group)
     if static_rows and n_samples >= 2:
-        t_full = _fit_bd_plan_tile(k, tile_b, n_samples)
+        t_full = _fit_bd_plan_tile(
+            k, tile_b, n_samples, n_genes=n_genes, n_rows=n_rows
+        )
         if t_full is not None:
             bd_plan_pick = (t_full, n_samples)   # single whole-S call
         else:
             # Wide ensembles: bd-plan over restart groups under lax.map —
             # the kernel has no unrolled restart loop, so the group cap is
             # pure VMEM (the S^2*K^3 block-diagonal operands).
-            bd_plan_pick = _pick_bd_plan_group(k, tile_b, n_samples)
+            bd_plan_pick = _pick_bd_plan_group(
+                k, tile_b, n_samples, n_genes=n_genes, n_rows=n_rows
+            )
     bdr_preferred = (
         n_genes <= _BDR_BD_PLAN_CROSSOVER_G or bd_plan_pick is None
     )
     if (static_rows or minibatch_rsort) and k <= 20 and bdr_preferred:
-        fit = _fit_bdr_tile(n_genes, k, tile_b, n_samples, group=bdr_group)
+        fit = _fit_bdr_tile(
+            n_genes, k, tile_b, n_samples, group=bdr_group, n_rows=n_rows
+        )
         if fit is not None and (
             backend == "pallas" or jax.default_backend() == "tpu"
         ):
@@ -665,7 +688,7 @@ def resolve_stats_fn(
         and (static_rows or minibatch_rsort)
     ):
         tile_brg = _fit_bdrg_tile(
-            n_genes, k, tile_b, n_samples, group=bdr_group
+            n_genes, k, tile_b, n_samples, group=bdr_group, n_rows=n_rows
         )
     if backend == "pallas":
         if tile is not None:

