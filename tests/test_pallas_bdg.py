@@ -1,0 +1,115 @@
+"""Parity tests for the g1-fused bdg kernel (ops/pallas_em_bdg.py).
+
+The bdg path must produce the same sufficient statistics as the jnp
+reference (ops/em.py) on the SAME rows — padding rows are weight-0 inert
+and the row order is a permutation, so stats computed over the g1-plan
+order equal stats over the original order.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trigenicinteractionpredictor_tpu.data.synthetic import (
+    sample_synthetic_dataset,
+)
+from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+from trigenicinteractionpredictor_tpu.ops.em import Batch, em_sufficient_stats
+from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+    apply_g1_order,
+    bdg_em_ensemble_stats,
+    make_g1_plan,
+)
+from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+    make_scatter_plan,
+)
+
+import jax
+
+
+def _stack_states(g, k, r, s, seed=0):
+    keys = jax.random.split(jax.random.key(seed), s)
+    states = [init_state(kk, g, k, r) for kk in keys]
+    return (
+        jnp.stack([st.theta for st in states]),
+        jnp.stack([st.p for st in states]),
+    )
+
+
+@pytest.mark.parametrize(
+    "n,g,k,s,wb1,tile",
+    [
+        (512, 40, 3, 2, 16, 64),
+        (768, 130, 4, 3, 32, 128),   # G not a wb1 multiple; odd S
+        (512, 24, 2, 1, 8, 64),      # single restart
+    ],
+)
+def test_bdg_matches_jnp(n, g, k, s, wb1, tile):
+    ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=2, seed=0)
+    thetas, ps = _stack_states(g, k, 2, s, seed=1)
+
+    plan = make_g1_plan(np.asarray(ds.triplets), g, wb1=wb1, tile=tile)
+    trip, rat, wts = apply_g1_order(
+        plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+        np.asarray(ds.weights),
+    )
+    splan = make_scatter_plan(trip, g, wb=wb1, tile=tile, positions=(1, 2))
+    batch = Batch(
+        triplets=jnp.asarray(trip),
+        ratings=jnp.asarray(rat),
+        weights=jnp.asarray(wts),
+        scatter_perm=jnp.asarray(splan.perm),
+        scatter_lid=jnp.asarray(splan.lid),
+        scatter_block=jnp.asarray(splan.block),
+        g1_lid=jnp.asarray(plan.lid1),
+        g1_block=jnp.asarray(plan.blk1),
+    )
+    got = bdg_em_ensemble_stats(
+        thetas, ps, batch, tile_b=tile, wb1=wb1,
+        n_blocks1=plan.n_blocks, wb=wb1, n_blocks=splan.n_blocks,
+        interpret=True,
+    )
+
+    # Reference on the ORIGINAL (unpermuted) rows — stats are permutation
+    # invariant and padding is inert.
+    ref_batch = Batch(
+        triplets=jnp.asarray(ds.triplets),
+        ratings=jnp.asarray(ds.ratings),
+        weights=jnp.asarray(ds.weights),
+    )
+    for i in range(s):
+        ref = em_sufficient_stats(thetas[i], ps[i], ref_batch)
+        np.testing.assert_allclose(
+            np.asarray(got.theta_hat[i]), np.asarray(ref.theta_hat),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.p_hat[i]), np.asarray(ref.p_hat),
+            rtol=2e-4, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            float(got.loglik[i]), float(ref.loglik), rtol=1e-5
+        )
+
+
+def test_g1_plan_roundtrip():
+    rng = np.random.default_rng(0)
+    trip = rng.integers(0, 100, size=(300, 3), dtype=np.int32)
+    rat = rng.integers(0, 2, size=300, dtype=np.int32)
+    wts = rng.random(300).astype(np.float32)
+    plan = make_g1_plan(trip, 100, wb1=16, tile=32)
+    t_, r_, w_ = apply_g1_order(plan, trip, rat, wts)
+    # every tile's real rows have g1 inside the tile's block
+    n_tiles = plan.blk1.shape[0]
+    for i in range(n_tiles):
+        rows = slice(i * plan.tile, (i + 1) * plan.tile)
+        lid = plan.lid1[rows]
+        real = lid >= 0
+        g1 = t_[rows][real, 0]
+        assert np.all(g1 // plan.wb1 == plan.blk1[i])
+        assert np.all(g1 - plan.blk1[i] * plan.wb1 == lid[real])
+        assert np.all(w_[rows][~real] == 0)
+    # weight and row multiset preserved
+    assert w_.sum() == pytest.approx(wts.sum(), rel=1e-6)
+    real = plan.order >= 0
+    assert sorted(plan.order[real].tolist()) == list(range(300))

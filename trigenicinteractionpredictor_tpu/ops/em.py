@@ -96,6 +96,11 @@ class Batch(NamedTuple):
     # Rating-sorted path (ops/pallas_em_rsorted.py): per-tile rating class;
     # rows must be in rating_sort_pad order.  None elsewhere.
     tile_rating: Optional[jax.Array] = None    # int32 [n_tiles]
+    # g1-fused path (ops/pallas_em_bdg.py): rows in make_g1_plan order;
+    # per-row within-block position-1 gene id (-1 = pad) and per-tile
+    # position-1 gene block.  None elsewhere.
+    g1_lid: Optional[jax.Array] = None         # int32 [B]; -1 = inert pad
+    g1_block: Optional[jax.Array] = None       # int32 [n_tiles]
 
 
 class SweepStats(NamedTuple):

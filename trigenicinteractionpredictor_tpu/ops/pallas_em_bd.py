@@ -362,7 +362,7 @@ def bd_em_ensemble_stats(
 
 @functools.partial(jax.jit, static_argnames=("wb", "n_blocks", "g", "interpret"))
 def _plan_scatter(
-    streams: jax.Array,   # [3, B, SK]
+    streams: jax.Array,   # [P, B, SK] — P positional value streams
     perm: jax.Array,
     lid: jax.Array,
     block: jax.Array,
@@ -377,11 +377,11 @@ def _plan_scatter(
         _scatter_tile_kernel,
     )
 
-    _, B, SK = streams.shape
+    P, B, SK = streams.shape
     Lp = perm.shape[0]
     n_tiles = block.shape[0]
     tile = Lp // n_tiles
-    s_stream = streams.reshape(3 * B, SK)
+    s_stream = streams.reshape(P * B, SK)
     vals = jnp.take(s_stream, perm, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -70,6 +70,7 @@ def make_scatter_plan(
     n_shards: int = 1,
     wb: int = DEFAULT_WB,
     tile: int = DEFAULT_TILE_B,
+    positions=None,
 ) -> ScatterPlan:
     """Sort-and-pad plan for the block scatter kernel.
 
@@ -82,16 +83,23 @@ def make_scatter_plan(
     Every block gets at least one tile (empty blocks must still be zeroed
     by the kernel).  Shards are padded to a common length so the plan
     arrays shard evenly over the ``data`` mesh axis.
+
+    ``positions`` (default: all arity columns) restricts the plan to a
+    subset of positional streams — the bdg path (ops/pallas_em_bdg.py)
+    scatters only positions (1, 2) because position 0 is fused into its
+    E-step kernel.  Slot index (p, b) -> p*B + b enumerates the CHOSEN
+    positions in order, matching a value stream stacked the same way.
     """
     N, arity = triplets.shape
     assert N % n_shards == 0, (N, n_shards)
     B = N // n_shards
     Q = -(-n_genes // wb)
+    cols = list(range(arity)) if positions is None else list(positions)
 
     per_shard = []
     for s in range(n_shards):
         rows = triplets[s * B : (s + 1) * B]
-        stream_g = rows.T.reshape(-1)          # index (pos, b) -> pos*B + b
+        stream_g = rows[:, cols].T.reshape(-1)  # index (p, b) -> p*B + b
         order = np.argsort(stream_g, kind="stable").astype(np.int32)
         g_sorted = stream_g[order]
         counts = np.bincount(g_sorted // wb, minlength=Q)
