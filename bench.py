@@ -154,6 +154,43 @@ def measure_engine(args) -> float:
                 f"S={n_samples} bdr rating-sort: tile={stats_fn.tile_b} "
                 f"rows={rplan.n_rows * mesh.shape['data']}"
             )
+        elif getattr(stats_fn, "needs_g1plan", False):
+            # bdg path: g1-block row order + 2-position scatter plan, same
+            # as the trainer (train/trainer.py).
+            from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+                apply_g1_order,
+                make_g1_plan,
+            )
+            from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+                make_scatter_plan,
+            )
+
+            g1plan = make_g1_plan(
+                np.asarray(ds.triplets), G, wb1=stats_fn.wb1,
+                tile=stats_fn.tile_b, n_shards=mesh.shape["data"],
+            )
+            t_, r_, w_ = apply_g1_order(
+                g1plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+                np.asarray(ds.weights), n_shards=mesh.shape["data"],
+            )
+            splan = make_scatter_plan(
+                t_, G, n_shards=mesh.shape["data"],
+                wb=stats_fn.wb, tile=stats_fn.tile_b, positions=(1, 2),
+            )
+            bench_batch = Batch(
+                triplets=jnp.asarray(t_),
+                ratings=jnp.asarray(r_),
+                weights=jnp.asarray(w_),
+                scatter_perm=jnp.asarray(splan.perm),
+                scatter_lid=jnp.asarray(splan.lid),
+                scatter_block=jnp.asarray(splan.block),
+                g1_lid=jnp.asarray(g1plan.lid1),
+                g1_block=jnp.asarray(g1plan.blk1),
+            )
+            log(
+                f"S={n_samples} large-G plan (g1-fused): wb1={stats_fn.wb1} "
+                f"tile={stats_fn.tile_b} rows={g1plan.n_rows * mesh.shape['data']}"
+            )
         elif getattr(stats_fn, "needs_plan", False):
             # Large-G path: attach the host-built sorted-block scatter plan,
             # same as the trainer (train/trainer.py).  N is tile-aligned

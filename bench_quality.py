@@ -151,6 +151,37 @@ def main() -> None:
             weights=jnp.asarray(w_),
             tile_rating=jnp.asarray(rplan.tile_r),
         )
+    elif getattr(stats_fn, "needs_g1plan", False):
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+            apply_g1_order,
+            make_g1_plan,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+            make_scatter_plan,
+        )
+
+        g1plan = make_g1_plan(
+            np.asarray(train.triplets), g, wb1=stats_fn.wb1,
+            tile=stats_fn.tile_b, n_shards=1,
+        )
+        t_, r_, w_ = apply_g1_order(
+            g1plan, np.asarray(train.triplets), np.asarray(train.ratings),
+            np.asarray(train.weights),
+        )
+        splan = make_scatter_plan(
+            t_, g, n_shards=1, wb=stats_fn.wb, tile=stats_fn.tile_b,
+            positions=(1, 2),
+        )
+        raw = Batch(
+            triplets=jnp.asarray(t_),
+            ratings=jnp.asarray(r_),
+            weights=jnp.asarray(w_),
+            scatter_perm=jnp.asarray(splan.perm),
+            scatter_lid=jnp.asarray(splan.lid),
+            scatter_block=jnp.asarray(splan.block),
+            g1_lid=jnp.asarray(g1plan.lid1),
+            g1_block=jnp.asarray(g1plan.blk1),
+        )
     elif getattr(stats_fn, "needs_plan", False):
         from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
             make_scatter_plan,

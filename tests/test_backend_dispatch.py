@@ -215,6 +215,8 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
             return "jnp"
         if getattr(fn, "needs_rsort", False):
             return "bdr"
+        if getattr(fn, "needs_g1plan", False):
+            return "bdg"
         if getattr(fn, "needs_plan", False):
             return (
                 "bd-plan"
@@ -256,18 +258,22 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         (1000, 10, 50, "bdr"),          # wide ensemble, single call
         (1000, 10, 100, "bdr"),         # pod-scale ensemble width
         (4_000, 10, 10, "bdr"),         # below the G-crossover: bdr 193M
-        # Past G ~ 5000 the G-flat bd-plan path (~167M) beats bdr's
-        # G-scaled one-hot matmuls (135M at 6k, 112M at 8k) — round-4
-        # crossover sweep, 2026-08-20.
-        (6_000, 10, 10, "bd-plan"),
-        (8_000, 10, 10, "bd-plan"),
-        # Large-G: bd-plan (block-diag E-step + plan scatter) measured
-        # 124.8M at G=100k vs the per-restart plan path's 85.2M (round 4);
-        # S=1 has no ensemble loop to batch, so it keeps the plan path.
-        (100_000, 10, 10, "bd-plan"),
+        # Past G ~ 5000 the G-flat plan family beats bdr's G-scaled
+        # one-hot matmuls (135M at 6k, 112M at 8k — round-4 crossover
+        # sweep).  Round 5: the full-S pick is the g1-FUSED bdg kernel
+        # (162M vs bd-plan's 143.6M at G=10k, same session).
+        (6_000, 10, 10, "bdg"),
+        (8_000, 10, 10, "bdg"),
+        # Large-G: bdg measured 126.8M at G=100k vs bd-plan's 123.8M and
+        # the per-restart plan path's 85.2M; S=1 has no ensemble to
+        # batch, so it keeps the plan path.
+        (100_000, 10, 10, "bdg"),
         (100_000, 10, 1, "plan"),
-        (500_000, 10, 10, "bd-plan"),   # no G ceiling on either plan path
-        (30_000, 10, 10, "bd-plan"),    # between hybrid ceiling and 100k
+        (500_000, 10, 10, "bdg"),       # no G ceiling on any plan path
+        (30_000, 10, 10, "bdg"),        # between hybrid ceiling and 100k
+        # Wide-S large-G: restart-grouped bdg (188.7M at S=50/G=10k/g=10
+        # vs the round-4 bd-plan-grouped 172M).
+        (10_000, 10, 50, "bdg"),
     ]
     for g, k, s, expected in cases:
         fn = resolve_stats_fn("auto", g, k, n_samples=s)

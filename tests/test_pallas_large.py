@@ -198,7 +198,7 @@ def test_grouped_bd_plan_matches_vmapped_jnp():
         states = jax.vmap(lambda kk: init_state(kk, g, k, r))(
             jax.random.split(jax.random.key(S), S)
         )
-        fn = _grouped_bd_plan_fn(tile, g, group=2, wb=32)
+        fn = _grouped_bd_plan_fn(tile, g, group=2, wb=32, g1_fused=False)
         stats = fn(states.theta, states.p, batch)
         ref = jax.vmap(
             lambda th, p: em_sufficient_stats(
@@ -214,9 +214,11 @@ def test_grouped_bd_plan_matches_vmapped_jnp():
 
 
 def test_fit_dispatches_bd_plan_past_crossover(tmp_path):
-    """backend='pallas' at G past the bdr/bd-plan crossover (G>5000, S>=2)
-    resolves to the bd-plan kernel and trains end-to-end through fit()
-    (interpret mode on CPU), matching the jnp fit."""
+    """backend='pallas' at G past the bdr crossover (G>5000, S>=2)
+    resolves to the g1-fused bdg kernel (round 5; previously bd-plan) and
+    trains end-to-end through fit() (interpret mode on CPU), matching the
+    jnp fit — exercising the trainer's g1 row reorder + 2-position
+    scatter-plan attach."""
     import numpy as np
 
     from trigenicinteractionpredictor_tpu.config import (
@@ -240,7 +242,7 @@ def test_fit_dispatches_bd_plan_past_crossover(tmp_path):
         )
 
     res = fit(cfg("pallas"), ds)
-    assert res.dispatch["kernel"] == "pallas-bd-plan", res.dispatch
+    assert res.dispatch["kernel"] == "pallas-bdg-plan", res.dispatch
     ref = fit(cfg("jnp"), ds)
     np.testing.assert_allclose(
         res.final_loglik, ref.final_loglik, rtol=1e-4

@@ -313,6 +313,13 @@ def _pallas_hybrid_fn(tile_b: int, strict: bool = False) -> Callable:
 # VMEM model only depends on (tile, K, S, wb).
 _LARGE_G_WB = 512
 
+# g1-fused bdg path (ops/pallas_em_bdg.py): position-1 theta block width.
+# Measured (round-5 probe, 2026-08-21): wb1=512 beats 1024 and 2048 at
+# every G in 10k..100k (126.8M vs 101.5M/119.2M at G=100k) — the narrow
+# block keeps the local one-hot matmul overcompute at ~5% of the tile
+# body while block-run padding stays tolerable.
+_BDG_WB1 = 512
+
 # bdr vs bd-plan crossover (measured K=10/S=10/N=131k, 2026-08-20): bdr
 # 193M at G=4000 vs bd-plan's G-flat 167M; bdr 135M at G=6000.
 _BDR_BD_PLAN_CROSSOVER_G = 5000
@@ -418,27 +425,86 @@ def _pick_bd_plan_group(
     return best
 
 
-def _grouped_bd_plan_fn(
-    tile_b: int, n_genes: int, group: int, strict: bool = False,
-    wb: int = 0,
+def _pallas_bdg_plan_fn(
+    tile_b: int, n_genes: int, strict: bool = False
 ) -> Callable:
-    """bd-plan over restart groups under lax.map (wide-S large-G band):
-    full groups of ``group`` restarts per kernel call, a narrower
-    remainder call for non-divisor S.  ``wb`` overrides the scatter block
-    width (tests use small blocks)."""
-    from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
-        bd_em_ensemble_stats,
+    """g1-fused large-G variant (ops/pallas_em_bdg.py): the bd ensemble
+    algebra with position 1's theta gather AND theta_hat scatter fused
+    into the kernel as block-local one-hot matmuls (rows pre-sorted by
+    position-1 gene block).  Round-5 race vs the bd-plan incumbent
+    (N=131k, K=10, S=10, same session, 2026-08-21): 162.0M vs 143.6M at
+    G=10k, 142.0M vs 122.5M at G=50k, 126.8M vs 123.8M at G=100k — the
+    fused path deletes one of the three XLA row-gather passes and a
+    third of the value-permute + scatter work that bound the sweep.
+
+    VMEM admission reuses bd_plan_kernel_fits: the bdg working set adds
+    only ~1.3 MB at wb1=512 (theta/theta_hat blocks + the local one-hot),
+    inside the model's measured slack, and every probed admitted shape
+    ran (BASELINE.md round-5 table)."""
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+        bdg_em_ensemble_stats,
     )
 
-    wb = wb or _LARGE_G_WB
-    n_blocks = -(-n_genes // wb)
-    call = functools.partial(
-        bd_em_ensemble_stats,
+    n_blocks = -(-n_genes // _LARGE_G_WB)
+    fn = functools.partial(
+        bdg_em_ensemble_stats,
         tile_b=tile_b,
-        wb=wb,
+        wb1=_BDG_WB1,
+        n_blocks1=-(-n_genes // _BDG_WB1),
+        wb=_LARGE_G_WB,
         n_blocks=n_blocks,
         strict=strict,
     )
+    fn.ensemble = True
+    fn.tile_b = tile_b
+    fn.wb = _LARGE_G_WB
+    fn.wb1 = _BDG_WB1
+    fn.kernel_name = "pallas-bdg-plan"
+    fn.needs_g1plan = True  # trainer: g1 row order + 2-position scatter plan
+    return fn
+
+
+def _grouped_bd_plan_fn(
+    tile_b: int, n_genes: int, group: int, strict: bool = False,
+    wb: int = 0, g1_fused: bool = True,
+) -> Callable:
+    """Plan-family kernel over restart groups under lax.map (wide-S
+    large-G band): full groups of ``group`` restarts per kernel call, a
+    narrower remainder call for non-divisor S.  ``wb`` overrides the
+    scatter block width (tests use small blocks).
+
+    ``g1_fused`` (default, round 5) uses the bdg kernel per group —
+    measured 188.7M upd/s at S=50/G=10k/g=10 vs the plain bd-plan
+    grouped path's 172M (the round-4 record); False keeps the plain bd
+    kernel (tests pin its parity independently)."""
+    wb = wb or _LARGE_G_WB
+    n_blocks = -(-n_genes // wb)
+    if g1_fused:
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+            bdg_em_ensemble_stats,
+        )
+
+        call = functools.partial(
+            bdg_em_ensemble_stats,
+            tile_b=tile_b,
+            wb1=_BDG_WB1,
+            n_blocks1=-(-n_genes // _BDG_WB1),
+            wb=wb,
+            n_blocks=n_blocks,
+            strict=strict,
+        )
+    else:
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+            bd_em_ensemble_stats,
+        )
+
+        call = functools.partial(
+            bd_em_ensemble_stats,
+            tile_b=tile_b,
+            wb=wb,
+            n_blocks=n_blocks,
+            strict=strict,
+        )
 
     def fn(thetas, ps, batch, precision=None):
         S = thetas.shape[0]
@@ -471,8 +537,13 @@ def _grouped_bd_plan_fn(
     fn.ensemble = True
     fn.tile_b = tile_b
     fn.wb = wb
-    fn.kernel_name = "pallas-bd-plan-grouped"
-    fn.needs_plan = True
+    if g1_fused:
+        fn.wb1 = _BDG_WB1
+        fn.kernel_name = "pallas-bdg-plan-grouped"
+        fn.needs_g1plan = True
+    else:
+        fn.kernel_name = "pallas-bd-plan-grouped"
+        fn.needs_plan = True
     fn.strict = strict
     return fn
 
@@ -700,7 +771,9 @@ def resolve_stats_fn(
         if tile_bd is not None:
             t_bd, g_bd = tile_bd
             if g_bd == n_samples:
-                return _pallas_bd_plan_fn(t_bd, n_genes, strict=strict)
+                # Full-S: the g1-fused bdg path (round-5 winner, see
+                # _pallas_bdg_plan_fn) replaces the plain bd-plan call.
+                return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
             return _grouped_bd_plan_fn(t_bd, n_genes, g_bd, strict=strict)
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes, strict=strict)
@@ -727,7 +800,7 @@ def resolve_stats_fn(
         if tile_bd is not None:
             t_bd, g_bd = tile_bd
             if g_bd == n_samples:
-                return _pallas_bd_plan_fn(t_bd, n_genes, strict=strict)
+                return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
             return _grouped_bd_plan_fn(t_bd, n_genes, g_bd, strict=strict)
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes, strict=strict)

@@ -225,7 +225,10 @@ def fit(
     # run stepwise (its plan is tied to one exact whole-dataset row
     # array).  The bdr kernel CAN — _run_stepwise rating-sorts each
     # minibatch itself.
-    if stepwise and getattr(stats_fn, "needs_plan", False):
+    if stepwise and (
+        getattr(stats_fn, "needs_plan", False)
+        or getattr(stats_fn, "needs_g1plan", False)
+    ):
         log.log("backend", kernel="jnp", reason="static row order vs stepwise")
         stats_fn = functools.partial(
             em_sufficient_stats, row_chunk=cfg.engine.jnp_row_chunk or 16384
@@ -389,7 +392,47 @@ def fit(
             ratings=jnp.asarray(ds.ratings),
             weights=jnp.asarray(ds.weights),
         )
-    if getattr(stats_fn, "needs_plan", False):
+    if getattr(stats_fn, "needs_g1plan", False):
+        # bdg path: rows re-ordered by position-1 gene block (the kernel
+        # fuses that position's gather/scatter); positions 2/3 keep a
+        # 2-position scatter plan built on the REORDERED rows.
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+            apply_g1_order,
+            make_g1_plan,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+            make_scatter_plan,
+        )
+
+        g1plan = make_g1_plan(
+            np.asarray(ds.triplets), ds.n_genes,
+            wb1=stats_fn.wb1, tile=stats_fn.tile_b, n_shards=data_size,
+        )
+        trip_g1, rat_g1, w_g1 = apply_g1_order(
+            g1plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+            np.asarray(ds.weights), n_shards=data_size,
+        )
+        splan = make_scatter_plan(
+            trip_g1, ds.n_genes, n_shards=data_size,
+            wb=stats_fn.wb, tile=stats_fn.tile_b, positions=(1, 2),
+        )
+        batch = Batch(
+            triplets=jnp.asarray(trip_g1),
+            ratings=jnp.asarray(rat_g1),
+            weights=jnp.asarray(w_g1),
+            scatter_perm=jnp.asarray(splan.perm),
+            scatter_lid=jnp.asarray(splan.lid),
+            scatter_block=jnp.asarray(splan.block),
+            g1_lid=jnp.asarray(g1plan.lid1),
+            g1_block=jnp.asarray(g1plan.blk1),
+        )
+        log.log(
+            "backend", kernel="pallas-bdg-plan", tile_b=stats_fn.tile_b,
+            wb1=stats_fn.wb1,
+            padded_rows=int(g1plan.n_rows) * data_size,
+            plan_rows=int(splan.perm.shape[0]),
+        )
+    elif getattr(stats_fn, "needs_plan", False):
         from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
             make_scatter_plan,
         )

@@ -59,6 +59,7 @@ def _code_fingerprint() -> str:
     import trigenicinteractionpredictor_tpu.ops.em as em_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em as pk_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_bd as bd_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_em_bdg as bdg_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_bdr as bdr_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_bdrg as bdrg_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_hybrid as hy_mod
@@ -67,7 +68,8 @@ def _code_fingerprint() -> str:
 
     h = hashlib.sha256()
     for mod in (
-        em_mod, pk_mod, bd_mod, bdr_mod, bdrg_mod, hy_mod, lg_mod, rs_mod
+        em_mod, pk_mod, bd_mod, bdg_mod, bdr_mod, bdrg_mod, hy_mod,
+        lg_mod, rs_mod,
     ):
         with open(mod.__file__, "rb") as fh:
             h.update(fh.read())
@@ -182,8 +184,8 @@ def _probe_result(
         ok = _probe_bdr(dev, g, k, r, trip, ratings, weights,
                         theta_np, p_np, cpu)
     if ok and platform == "tpu" and arity == 3:
-        ok = _probe_bd_plan(dev, n, g, k, trip, ratings, weights,
-                            theta_np, p_np, cpu)
+        ok = _probe_bdg_plan(dev, n, g, k, trip, ratings, weights,
+                             theta_np, p_np, cpu)
     if ok and platform == "tpu" and arity == 3:
         # The stepwise mid-G dispatch default: probe at a G past the
         # one-hot family's ceiling so the probe exercises the same
@@ -243,19 +245,22 @@ def _probe_bdr(dev, g, k, r, trip, ratings, weights, theta_np, p_np, cpu):
     return _check("bdr", acc, cpu)
 
 
-def _probe_bd_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
-    """Probe the bd-plan path — the large-G dispatch default since round
-    4 (block-diag E-step + sorted-block plan scatter).  A 2-lane ensemble
-    of IDENTICAL states exercises the block-diagonal width; both lanes
-    must match the CPU reference."""
+def _probe_bdg_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
+    """Probe the bdg path — the large-G dispatch default since round 5
+    (block-diag E-step with fused g1-block gather/scatter + 2-position
+    plan scatter).  A 2-lane ensemble of IDENTICAL states exercises the
+    block-diagonal width; both lanes must match the CPU reference."""
     from trigenicinteractionpredictor_tpu.ops.em import Batch
 
     try:  # plumbing
         from trigenicinteractionpredictor_tpu.ops.dispatch import (
+            _BDG_WB1,
             _fit_bd_plan_tile,
         )
-        from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
-            bd_em_ensemble_stats,
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+            apply_g1_order,
+            bdg_em_ensemble_stats,
+            make_g1_plan,
         )
         from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
             make_scatter_plan,
@@ -266,15 +271,11 @@ def _probe_bd_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
         tile_bd = _fit_bd_plan_tile(k, 256, 2, n_genes=g, n_rows=n)
         if tile_bd is None:
             return True
-        arity = trip.shape[1]
-        pad_n = -(-n // tile_bd) * tile_bd
-        trip_p = np.zeros((pad_n, arity), np.int32)
-        trip_p[:n] = trip
-        rat_p = np.zeros(pad_n, np.int32)
-        rat_p[:n] = ratings
-        w_p = np.zeros(pad_n, np.float32)
-        w_p[:n] = weights
-        plan = make_scatter_plan(trip_p, g, n_shards=1, wb=256, tile=tile_bd)
+        wb1 = min(_BDG_WB1, g)
+        g1plan = make_g1_plan(trip, g, wb1=wb1, tile=tile_bd)
+        trip_p, rat_p, w_p = apply_g1_order(g1plan, trip, ratings, weights)
+        plan = make_scatter_plan(trip_p, g, n_shards=1, wb=256,
+                                 tile=tile_bd, positions=(1, 2))
         n_blocks = -(-g // 256)
         dev_args = [
             jax.device_put(jnp.asarray(a), dev)
@@ -282,32 +283,34 @@ def _probe_bd_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
         ]
         pl_args = [
             jax.device_put(jnp.asarray(a), dev)
-            for a in (plan.perm, plan.lid, plan.block)
+            for a in (plan.perm, plan.lid, plan.block,
+                      g1plan.lid1, g1plan.blk1)
         ]
     except Exception as e:
         warnings.warn(
-            f"integrity probe [bd-plan] plumbing failed, skipped: {e!r}"
+            f"integrity probe [bdg-plan] plumbing failed, skipped: {e!r}"
         )
         return True
 
-    def run_bd(th, p, b):
-        return bd_em_ensemble_stats(
+    def run_bdg(th, p, b):
+        return bdg_em_ensemble_stats(
             jnp.stack([th, th]), jnp.stack([p, p]), b,
-            tile_b=tile_bd, wb=256, n_blocks=n_blocks, interpret=False,
+            tile_b=tile_bd, wb1=wb1, n_blocks1=-(-g // wb1),
+            wb=256, n_blocks=n_blocks, interpret=False,
         )
 
     try:  # compute
         out2 = jax.jit(
-            lambda th, p, t, rr, w, sp, sl, sb: run_bd(
+            lambda th, p, t, rr, w, sp, sl, sb, gl, gb: run_bdg(
                 th, p,
                 Batch(t, rr, w, scatter_perm=sp, scatter_lid=sl,
-                      scatter_block=sb),
+                      scatter_block=sb, g1_lid=gl, g1_block=gb),
             )
         )(*dev_args, *pl_args)
         lane0 = [np.asarray(x)[0] for x in out2]
         lane1 = [np.asarray(x)[1] for x in out2]
     except Exception as e:
-        warnings.warn(f"integrity probe [bd-plan] kernel raised: {e!r}")
+        warnings.warn(f"integrity probe [bdg-plan] kernel raised: {e!r}")
         return False
     # BOTH lanes must match the host reference at the probe tolerance.
     # Bitwise lane equality is deliberately NOT required: identical
@@ -316,8 +319,8 @@ def _probe_bd_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
     # the real MXU, with p_hat/loglik bitwise equal (first on-chip run
     # of this probe, 2026-08-21) — position-dependent accumulation
     # noise, which the lane-vs-reference checks bound at _TOL either way.
-    return _check("bd-plan[0]", lane0, cpu) and _check(
-        "bd-plan[1]", lane1, cpu
+    return _check("bdg-plan[0]", lane0, cpu) and _check(
+        "bdg-plan[1]", lane1, cpu
     )
 
 
