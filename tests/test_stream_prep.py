@@ -1,14 +1,8 @@
 """Tests for train/stream_prep.py (round-5 streaming host pipeline).
 
-The streaming trainer's host prep must stay O(group*mb)-resident and
-bit-equivalent to the reference per-minibatch implementation:
-
-- the sliced Feistel epoch permutation is a bijection whose disjoint
-  slices partition the full permutation (THE property that lets every
-  worker compute its own indices with no O(N) host object anywhere);
-- the vectorized group rating-sort equals rating_sort_pad +
-  apply_rating_sort looped per minibatch, array-for-array;
-- the spawn-process pool produces the same batches as in-thread prep.
+The streaming trainer's host prep must be bit-equivalent between the
+in-thread and the spawn-pool paths, preserve the round-4 (seed, epoch)
+shuffle derivation (resume replay), and keep padding inert.
 """
 
 import numpy as np
@@ -16,90 +10,28 @@ import pytest
 
 from trigenicinteractionpredictor_tpu.train.stream_prep import (
     StreamPrep,
-    epoch_perm_slice,
-    rsort_pad_group,
+    epoch_perm,
 )
 
 
-@pytest.mark.parametrize("n", [1, 7, 64, 1000, 4096, 100003])
-def test_epoch_perm_is_bijection(n):
-    full = epoch_perm_slice(seed=3, epoch=2, n=n, lo=0, hi=n)
-    assert full.shape == (n,)
-    assert np.array_equal(np.sort(full), np.arange(n))
+def test_epoch_perm_matches_round4_derivation():
+    """Resume-replay contract: the shuffle is the same function of
+    (seed, epoch) the round-4 trainer used — checkpoints that replay
+    epochs get the identical minibatch sequence."""
+    seed, ep, n = 3, 5, 1000
+    ref = np.random.default_rng((seed ^ 0x5EED) + 7919 * (ep + 1)).permutation(n)
+    got = epoch_perm(seed, ep, n)
+    assert np.array_equal(got, ref)
+    assert got.dtype == np.int32  # half the index memory below 2^31
 
 
-def test_epoch_perm_slices_partition():
-    n = 12345
-    full = epoch_perm_slice(seed=1, epoch=5, n=n, lo=0, hi=n)
-    cuts = [0, 17, 1024, 5000, n]
-    parts = [
-        epoch_perm_slice(seed=1, epoch=5, n=n, lo=a, hi=b)
-        for a, b in zip(cuts[:-1], cuts[1:])
-    ]
-    assert np.array_equal(np.concatenate(parts), full)
-
-
-def test_epoch_perm_varies_by_epoch_and_seed():
+def test_epoch_perm_varies_and_is_deterministic():
     n = 2048
-    a = epoch_perm_slice(0, 0, n, 0, n)
-    b = epoch_perm_slice(0, 1, n, 0, n)
-    c = epoch_perm_slice(1, 0, n, 0, n)
-    assert not np.array_equal(a, b)
-    assert not np.array_equal(a, c)
-    # deterministic: same args -> same permutation (resume replay)
-    assert np.array_equal(a, epoch_perm_slice(0, 0, n, 0, n))
-
-
-def test_epoch_perm_actually_shuffles():
-    n = 100000
-    p = epoch_perm_slice(7, 3, n, 0, n)
-    # displacement should look uniform, not near-identity
-    disp = np.abs(p - np.arange(n))
-    assert disp.mean() > n / 10
-
-
-@pytest.mark.parametrize(
-    "group,mb,d_sh,tile,R,seed",
-    [
-        (3, 64, 1, 8, 2, 0),
-        (2, 128, 2, 16, 2, 1),
-        (4, 96, 1, 8, 3, 2),
-        (1, 256, 2, 32, 2, 3),
-        (2, 64, 2, 8, 4, 4),
-    ],
-)
-def test_rsort_pad_group_matches_reference(group, mb, d_sh, tile, R, seed):
-    from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
-        apply_rating_sort,
-        rating_sort_pad,
-    )
-
-    rng = np.random.default_rng(seed)
-    B = mb // d_sh
-    ft = B // tile + R
-    n_rows = group * mb
-    trip = rng.integers(0, 50, size=(n_rows, 3), dtype=np.int32)
-    rat = rng.integers(0, R, size=n_rows, dtype=np.int32)
-    wts = rng.random(n_rows).astype(np.float32)
-
-    got_t, got_r, got_w, got_tiler = rsort_pad_group(
-        trip, rat, wts, group=group, n_ratings=R, tile=tile,
-        n_shards=d_sh, n_tiles=ft,
-    )
-
-    mb_b = ft * tile * d_sh
-    for m in range(group):
-        sl = slice(m * mb, (m + 1) * mb)
-        plan = rating_sort_pad(rat[sl], R, tile=tile, n_shards=d_sh,
-                               n_tiles=ft)
-        t_, r_, w_ = apply_rating_sort(
-            plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
-        )
-        assert np.array_equal(got_t[m], t_), f"trip mismatch at m={m}"
-        assert np.array_equal(got_r[m], r_), f"rat mismatch at m={m}"
-        assert np.array_equal(got_w[m], w_), f"wts mismatch at m={m}"
-        assert np.array_equal(got_tiler[m], plan.tile_r)
-        assert got_t[m].shape[0] == mb_b
+    a = epoch_perm(0, 0, n)
+    assert not np.array_equal(a, epoch_perm(0, 1, n))
+    assert not np.array_equal(a, epoch_perm(1, 0, n))
+    assert np.array_equal(a, epoch_perm(0, 0, n))
+    assert np.array_equal(np.sort(a), np.arange(n))
 
 
 def _mk_layout(n, mb, group, rsort, tile=8, d_sh=1, R=2):
@@ -147,6 +79,57 @@ def test_stream_prep_inthread(rsort):
             for d in range(n_dispatch)
         )
         assert total == pytest.approx(float(ds.weights.sum()))
+    finally:
+        sp.close()
+
+
+def test_stream_prep_matches_legacy_trainer_prep():
+    """The in-thread StreamPrep output must equal what the round-4
+    trainer's inline prep produced for the same (seed, epoch, group):
+    same permutation, same gather, same per-minibatch rating sort."""
+    from trigenicinteractionpredictor_tpu.data.packing import TripletDataset
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+        apply_rating_sort,
+        rating_sort_pad,
+    )
+
+    rng = np.random.default_rng(2)
+    n, mb, group, tile, d_sh, R = 700, 128, 2, 16, 2, 2
+    ds = TripletDataset(
+        triplets=rng.integers(0, 30, size=(n, 3), dtype=np.int32),
+        ratings=rng.integers(0, R, size=n, dtype=np.int32),
+        weights=rng.random(n).astype(np.float32),
+        n_genes=30,
+        n_ratings=R,
+    )
+    lay = _mk_layout(n, mb, group, rsort=True, tile=tile, d_sh=d_sh)
+    sp = StreamPrep(ds, lay, workers=1)
+    try:
+        out = sp.prep_group(3, 1)
+        # round-4 inline equivalent
+        perm = np.random.default_rng((11 ^ 0x5EED) + 7919 * 4).permutation(
+            lay["n_padded"]
+        )
+        gp = perm[1 * group * mb : 2 * group * mb]
+        mask = gp < n
+        trip = np.zeros((gp.size, 3), np.int32)
+        rat = np.zeros(gp.size, np.int32)
+        wts = np.zeros(gp.size, np.float32)
+        trip[mask] = ds.triplets[gp[mask]]
+        rat[mask] = ds.ratings[gp[mask]]
+        wts[mask] = ds.weights[gp[mask]]
+        ft = lay["n_tiles"]
+        for m in range(group):
+            sl = slice(m * mb, (m + 1) * mb)
+            plan = rating_sort_pad(rat[sl], R, tile=tile, n_shards=d_sh,
+                                   n_tiles=ft)
+            t_, r_, w_ = apply_rating_sort(
+                plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
+            )
+            assert np.array_equal(np.asarray(out["trip"])[m], t_)
+            assert np.array_equal(np.asarray(out["rat"])[m], r_)
+            assert np.array_equal(np.asarray(out["wts"])[m], w_)
+            assert np.array_equal(np.asarray(out["tiler"])[m], plan.tile_r)
     finally:
         sp.close()
 

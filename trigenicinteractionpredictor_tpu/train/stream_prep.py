@@ -3,33 +3,34 @@
 The beyond-HBM streaming path (train/trainer.py::_run_stepwise) is
 HOST-bound: at 10^7 memmapped rows the round-4 pipeline spent ~9.6x the
 device time per epoch on one Python thread doing epoch-permutation
-generation, row gather, and a per-minibatch Python rating-sort loop
-(tools/stepwise_host_cost.py; VERDICT r4 item 3).  This module replaces
-all three stages:
+generation, row gather, and per-minibatch rating-sorting
+(tools/stepwise_host_cost.py; VERDICT r4 item 3).  This module is the
+round-5 rework.  Two designs were MEASURED OUT first (pinned in
+BASELINE.md round-5): a sliced Feistel permutation (slice-computable,
+O(1) memory — but 2.5-5.3 s/10^7 rows of numpy uint ops vs 0.37 s for
+``rng.permutation``: elementwise chains lose to the native shuffle) and a
+fully vectorized group rating-sort (2x SLOWER than the existing
+per-minibatch loop, which never scatters — at stream_groups <= 64 the
+Python loop overhead the vectorization targeted is negligible).
 
-1. **Sliced Feistel permutation** (:func:`epoch_perm_slice`) — the epoch
-   shuffle becomes a format-preserving 4-round Feistel bijection over the
-   padded index space, derived from (seed, epoch).  Any slice of the
-   permutation is computable independently in O(slice) time and O(1)
-   memory, so (a) the serial O(N) ``rng.permutation`` materialization is
-   gone, and (b) pool workers compute their own index ranges with zero
-   parent->worker data traffic.  Replayability across resume is preserved:
-   the permutation is a pure function of (seed, epoch, n).
+What ships instead:
 
-2. **Vectorized rating-sort** (:func:`rsort_pad_group`) — one stable
-   argsort + O(R) vectorized passes over a whole dispatch group replaces
-   ``group`` x ``n_shards`` per-minibatch ``rating_sort_pad`` calls.
-   Exactly equivalent (tests/test_stream_prep.py asserts array equality
-   against the reference implementation).
+1. The epoch permutation keeps round 4's exact (seed, epoch) RNG
+   derivation (replayable across resume, bit-compatible with round-4
+   checkpoints) but is drawn as int32 (half the memory) and computed on
+   the PREFETCH thread — and, in pool mode, precomputed for epoch e+1
+   while the last group of epoch e is being prepped by workers, taking
+   its O(N) cost off the critical path entirely.
 
-3. **Process-pool fan-out** (:class:`StreamPrep`) — gather + sort scale
-   across cores: spawn-based workers (env-scrubbed so the axon
+2. **Process-pool fan-out** (:class:`StreamPrep`): gather + rating-sort
+   scale across cores.  Spawn-based workers (env-scrubbed so the axon
    sitecustomize cannot claim the TPU in a child) write prepared
    minibatches straight into double-buffered shared-memory slots; the
-   parent only device_puts.  Memmap-backed datasets are reopened by path
-   in each worker (independent page-cache reads); in-memory datasets ship
-   once at pool startup.  With few cores or small datasets the pool is
-   skipped automatically — the vectorized in-thread path is used.
+   parent ships each task only its permutation slice and device_puts the
+   results.  Memmap-backed datasets are reopened by path in each worker
+   (independent page-cache reads); in-memory datasets ship once at pool
+   startup.  With a single spare core or tiny groups the pool is skipped
+   automatically — prep runs on the prefetch thread as in round 4.
 
 This module is imported by spawn workers, so it must NOT import jax (or
 anything that does) at module scope.
@@ -43,151 +44,21 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 # ----------------------------------------------------------------------
-# 1. Sliced epoch permutation (Feistel cycle-walking bijection)
-# ----------------------------------------------------------------------
-
-_M1 = np.uint64(0xBF58476D1CE4E5B9)
-_M2 = np.uint64(0x94D049BB133111EB)
-_ROUNDS = 4
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (vectorized, uint64 wrap-around)."""
-    x = (x ^ (x >> np.uint64(30))) * _M1
-    x = (x ^ (x >> np.uint64(27))) * _M2
-    return x ^ (x >> np.uint64(31))
-
-
-def _round_keys(seed: int, epoch: int) -> np.ndarray:
-    # 64-bit wrap-around is intended; do the scalar mix in Python ints.
-    base = (
-        ((seed ^ 0x5EED) & 0xFFFFFFFF) * 0x9E3779B97F4A7C15 + epoch + 1
-    ) & 0xFFFFFFFFFFFFFFFF
-    return _mix64(np.uint64(base) + np.arange(1, _ROUNDS + 1, dtype=np.uint64))
-
-
-def epoch_perm_slice(
-    seed: int, epoch: int, n: int, lo: int, hi: int
-) -> np.ndarray:
-    """Positions ``lo:hi`` of the (seed, epoch) permutation of ``[0, n)``.
-
-    A 4-round Feistel network over the smallest even-split power-of-two
-    domain >= n, restricted to [0, n) by cycle-walking — a standard
-    format-preserving-encryption construction, giving a deterministic
-    bijection computable slice-by-slice.  ``epoch_perm_slice(s, e, n, 0,
-    n)`` is the full permutation; disjoint slices partition it.
-    """
-    if hi <= lo:
-        return np.empty(0, np.int64)
-    assert 0 <= lo and hi <= n, (lo, hi, n)
-    bits = max(2, int(n - 1).bit_length())
-    half = np.uint64((bits + 1) // 2)
-    mask = np.uint64((1 << int(half)) - 1)
-    keys = _round_keys(seed, epoch)
-
-    def encrypt(v: np.ndarray) -> np.ndarray:
-        left = v >> half
-        right = v & mask
-        for r in range(_ROUNDS):
-            left, right = right, left ^ (_mix64(right + keys[r]) & mask)
-        return (left << half) | right
-
-    out = np.arange(lo, hi, dtype=np.uint64)
-    active = np.ones(out.shape, bool)
-    while active.any():
-        out[active] = encrypt(out[active])
-        active = out >= np.uint64(n)  # cycle-walk until back in range
-    return out.astype(np.int64)
-
-
-# ----------------------------------------------------------------------
-# 2. Vectorized per-group rating sort
+# Epoch permutation — round 4's derivation, int32, cached per epoch
 # ----------------------------------------------------------------------
 
 
-def rsort_pad_group(
-    trip: np.ndarray,     # int32 [g*mb, arity]
-    rat: np.ndarray,      # int32 [g*mb]
-    wts: np.ndarray,      # f32  [g*mb]
-    *,
-    group: int,
-    n_ratings: int,
-    tile: int,
-    n_shards: int,
-    n_tiles: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Rating-sort + class-pad every minibatch of a dispatch group at once.
-
-    Exactly equivalent to looping ``rating_sort_pad`` +
-    ``apply_rating_sort`` over the group's minibatches with a forced
-    ``n_tiles`` (the stepwise trainer's fixed worst-case layout), but
-    with ONE stable argsort over all (minibatch, shard) rows and O(R)
-    vectorized bookkeeping instead of a Python loop
-    (tests/test_stream_prep.py proves equality).
-
-    Returns (trip_g [g, mb_b, arity], rat_g [g, mb_b], wts_g [g, mb_b],
-    tile_r [g, n_shards*n_tiles]) with mb_b = n_shards*n_tiles*tile.
-    """
-    mb = rat.shape[0] // group
-    B = mb // n_shards
-    rows = group * n_shards
-    Bp = n_tiles * tile
-    R = n_ratings
-
-    r2 = rat.reshape(rows, B)
-    order_in = np.argsort(r2, axis=1, kind="stable")
-    r_sorted = np.take_along_axis(r2, order_in, axis=1)
-
-    flat = (np.arange(rows, dtype=np.int64)[:, None] * R + r2).ravel()
-    counts = np.bincount(flat, minlength=rows * R).reshape(rows, R)
-    tiles_per_class = np.maximum(1, -(-counts // tile))
-    assert int(tiles_per_class.sum(1).max()) <= n_tiles, (
-        "forced n_tiles too small for a minibatch's class layout"
-    )
-    excl = np.zeros((rows, R), np.int64)
-    excl[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]
-    starts = np.zeros((rows, R), np.int64)
-    starts[:, 1:] = np.cumsum(tiles_per_class * tile, axis=1)[:, :-1]
-
-    j = np.arange(B, dtype=np.int64)[None, :]
-    dest = (
-        j
-        - np.take_along_axis(excl, r_sorted, axis=1)
-        + np.take_along_axis(starts, r_sorted, axis=1)
-    )
-    order = np.full((rows, Bp), -1, np.int64)
-    np.put_along_axis(order, dest, order_in, axis=1)
-
-    # tile -> rating class: boundaries are monotone (every class owns >= 1
-    # tile), so a tile's class = number of class starts <= its index;
-    # common-length padding tiles past the last class inherit class R-1,
-    # matching rating_sort_pad.
-    tt = np.arange(n_tiles, dtype=np.int64)[None, :]
-    start_tiles = starts // tile
-    tile_r = np.zeros((rows, n_tiles), np.int32)
-    for rr in range(1, R):
-        tile_r += (tt >= start_tiles[:, rr : rr + 1]).astype(np.int32)
-
-    pad = order < 0
-    idx = np.where(pad, 0, order)
-    trip3 = trip.reshape(rows, B, -1)
-    trip_out = np.take_along_axis(trip3, idx[:, :, None], axis=1)
-    wts_out = np.where(
-        pad, np.float32(0), np.take_along_axis(wts.reshape(rows, B), idx, axis=1)
-    ).astype(np.float32)
-    rat_out = np.repeat(tile_r, tile, axis=1).astype(np.int32)
-
-    arity = trip.shape[-1]
-    return (
-        trip_out.reshape(group, n_shards * Bp, arity),
-        rat_out.reshape(group, n_shards * Bp),
-        wts_out.reshape(group, n_shards * Bp),
-        tile_r.reshape(group, n_shards * n_tiles),
-    )
+def epoch_perm(seed: int, epoch: int, n_padded: int) -> np.ndarray:
+    """(seed, epoch)-derived shuffle of the padded index space —
+    replayable across resume; identical sequence to the round-4 trainer."""
+    rng = np.random.default_rng((seed ^ 0x5EED) + 7919 * (epoch + 1))
+    if n_padded < 2**31:
+        return rng.permutation(np.arange(n_padded, dtype=np.int32))
+    return rng.permutation(n_padded)
 
 
 # ----------------------------------------------------------------------
-# 3. The prep engine: gather (+sort) one dispatch group
+# Per-range prep (gather + rating-sort); pure numpy
 # ----------------------------------------------------------------------
 
 
@@ -207,36 +78,44 @@ def _gather_rows(ds_arrays, n: int, idx: np.ndarray):
     return trip, rat, wts
 
 
-def _prep_minibatches(
-    ds_arrays, layout: Dict, ep: int, d: int, m_lo: int, m_hi: int
-):
-    """Gather + (optionally) rating-sort minibatches [m_lo, m_hi) of
-    dispatch group ``d`` of epoch ``ep``.  Pure numpy; runs on the
-    prefetch thread or inside a pool worker."""
+def _prep_minibatches(ds_arrays, layout: Dict, gperm: np.ndarray):
+    """Gather + (optionally) rating-sort the minibatches covered by
+    ``gperm`` (a contiguous slice of the epoch permutation, a multiple of
+    ``mb`` rows).  Runs on the prefetch thread or inside a pool worker."""
     mb = layout["mb"]
-    lo = (d * layout["group"] + m_lo) * mb
-    hi = (d * layout["group"] + m_hi) * mb
-    gperm = epoch_perm_slice(
-        layout["seed"], ep, layout["n_padded"], lo, hi
-    )
     trip, rat, wts = _gather_rows(ds_arrays, layout["n"], gperm)
-    g = m_hi - m_lo
-    if layout["rsort"]:
-        return rsort_pad_group(
-            trip, rat, wts,
-            group=g,
-            n_ratings=layout["n_ratings"],
-            tile=layout["tile"],
-            n_shards=layout["n_shards"],
-            n_tiles=layout["n_tiles"],
-        )
+    g = gperm.size // mb
     arity = trip.shape[-1]
-    return (
-        trip.reshape(g, mb, arity),
-        rat.reshape(g, mb),
-        wts.reshape(g, mb),
-        None,
+    if not layout["rsort"]:
+        return (
+            trip.reshape(g, mb, arity),
+            rat.reshape(g, mb),
+            wts.reshape(g, mb),
+            None,
+        )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted import (
+        apply_rating_sort,
+        rating_sort_pad,
     )
+
+    d_sh, ft, tile = layout["n_shards"], layout["n_tiles"], layout["tile"]
+    R = layout["n_ratings"]
+    mb_b = layout["mb_b"]
+    trip_g = np.empty((g, mb_b, arity), np.int32)
+    rat_g = np.empty((g, mb_b), np.int32)
+    wts_g = np.empty((g, mb_b), np.float32)
+    tiler_g = np.empty((g, d_sh * ft), np.int32)
+    for m in range(g):
+        sl = slice(m * mb, (m + 1) * mb)
+        plan = rating_sort_pad(
+            rat[sl], R, tile=tile, n_shards=d_sh, n_tiles=ft
+        )
+        t_, r_, w_ = apply_rating_sort(
+            plan, trip[sl], rat[sl], wts[sl], n_shards=d_sh
+        )
+        trip_g[m], rat_g[m], wts_g[m] = t_, r_, w_
+        tiler_g[m] = plan.tile_r
+    return trip_g, rat_g, wts_g, tiler_g
 
 
 # --- pool worker side --------------------------------------------------
@@ -268,13 +147,14 @@ def _attach_shm(name: str):
     return shm
 
 
-def _worker_task(slot_spec, ep: int, d: int, m_lo: int, m_hi: int):
-    """Prep a minibatch range and write it into the shared-memory slot.
+def _worker_task(slot_spec, gperm: np.ndarray, m_lo: int, m_hi: int):
+    """Prep the minibatch range [m_lo, m_hi) from its permutation slice
+    and write it into the shared-memory slot.
 
     ``slot_spec``: {array_name: (shm_name, shape, dtype_str)} for the
     whole group; this task writes rows [m_lo:m_hi) of the leading axis.
     """
-    out = _prep_minibatches(_W_DS, _W_LAYOUT, ep, d, m_lo, m_hi)
+    out = _prep_minibatches(_W_DS, _W_LAYOUT, gperm)
     names = ("trip", "rat", "wts", "tiler")
     for name, arr in zip(names, out):
         if arr is None:
@@ -293,11 +173,13 @@ class StreamPrep:
     device arrays (a Batch is assembled by the trainer).
 
     Modes:
-    - in-thread: vectorized gather+sort on the calling (prefetch) thread;
+    - in-thread: gather + sort on the calling (prefetch) thread;
     - pool: ``workers`` spawn processes write into one of two
       shared-memory slots (double-buffered for the one-group lookahead);
-      the parent device_puts straight from the slot views, blocking on
-      the slot's PREVIOUS transfer before reuse.
+      the parent ships each task its permutation slice, precomputes the
+      NEXT epoch's permutation while the last group's tasks run, and
+      device_puts straight from the slot views (blocking on the slot's
+      previous transfer before reuse).
 
     ``workers=0`` auto-selects: a pool only helps when there are spare
     cores beyond the parent/prefetch threads and enough rows per group to
@@ -318,17 +200,34 @@ class StreamPrep:
         self._slots = []         # [{name: (shm, np view)}] x 2
         self._slot_busy: list = [None, None]  # previous device arrays
         self._toggle = 0
+        self._perm_cache: Dict = {}
+        lay = self._layout
+        self._n_dispatch = max(
+            lay["n_padded"] // (lay["group"] * lay["mb"]), 1
+        )
         if workers == 0:
             cpus = os.cpu_count() or 1
-            rows_per_group = layout["group"] * layout["mb"]
+            rows_per_group = lay["group"] * lay["mb"]
             workers = (
-                min(4, cpus - 2)
-                if cpus >= 4 and rows_per_group >= 1 << 20
+                min(4, cpus - 1)
+                if cpus >= 3 and rows_per_group >= 1 << 19
                 else 1
             )
         self._workers = max(1, workers)
         if self._workers > 1:
             self._start_pool()
+
+    # -- epoch permutation ----------------------------------------------
+
+    def _perm(self, ep: int) -> np.ndarray:
+        if self._perm_cache.get("ep") != ep:
+            self._perm_cache = {
+                "ep": ep,
+                "perm": epoch_perm(
+                    self._layout["seed"], ep, self._layout["n_padded"]
+                ),
+            }
+        return self._perm_cache["perm"]
 
     # -- pool management ------------------------------------------------
 
@@ -361,11 +260,7 @@ class StreamPrep:
             )
             # Force worker startup now (surfaces spawn failures here, and
             # pays the import cost before the first epoch's clock starts).
-            list(
-                self._pool.map(
-                    _noop, range(self._workers), chunksize=1
-                )
-            )
+            list(self._pool.map(_noop, range(self._workers), chunksize=1))
         except Exception:
             if self._pool is not None:
                 self._pool.shutdown(wait=False)
@@ -409,9 +304,11 @@ class StreamPrep:
         import jax
 
         lay = self._layout
+        mb, g = lay["mb"], lay["group"]
+        gperm = self._perm(ep)[d * g * mb : (d + 1) * g * mb]
         if self._pool is None:
             trip, rat, wts, tiler = _prep_minibatches(
-                self._ds_arrays, lay, ep, d, 0, lay["group"]
+                self._ds_arrays, lay, gperm
             )
         else:
             slot_i = self._toggle
@@ -427,14 +324,19 @@ class StreamPrep:
                 name: (shm.name, view.shape, view.dtype.str)
                 for name, (shm, view) in slot.items()
             }
-            g = lay["group"]
             per = -(-g // self._workers)
             futs = [
                 self._pool.submit(
-                    _worker_task, spec, ep, d, m, min(m + per, g)
+                    _worker_task, spec,
+                    gperm[m * mb : min(m + per, g) * mb],
+                    m, min(m + per, g),
                 )
                 for m in range(0, g, per)
             ]
+            if d == self._n_dispatch - 1:
+                # Workers are crunching the epoch's last group: take the
+                # NEXT epoch's O(N) permutation off the critical path.
+                self._perm(ep + 1)
             for f in futs:
                 f.result()  # propagate worker exceptions
             trip = slot["trip"][1]
