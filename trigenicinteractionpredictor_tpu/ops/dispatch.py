@@ -631,11 +631,11 @@ def resolve_stats_fn(
     #
     # ... and only up to G ~ 5000: bdr's [Bt, G] one-hot matmuls scale
     # its sweep with G (420M at G=1k -> 193M at 4k -> 135M at 6k -> 112M
-    # at 8k) while the bd-plan path is G-flat at ~167M (round-4 crossover
-    # sweep, 2026-08-20).  Past the crossover, prefer bd-plan whenever it
-    # is actually available (static rows + S >= 2); stepwise keeps bdr at
-    # any G its envelope fits (the scatter plan can't ride reshuffled
-    # minibatches).
+    # at 8k) while the plan family is G-flat (round-4 crossover sweep;
+    # round 5's g1-fused bdg runs it at 162M at G=10k / 140M at G=100k).
+    # Past the crossover, prefer the plan family whenever it is actually
+    # available (static rows + S >= 2); stepwise keeps bdr at any G its
+    # envelope fits (the plans can't ride reshuffled minibatches).
     bd_plan_pick: Optional[Tuple[int, int]] = None  # (tile, group)
     if static_rows and n_samples >= 2:
         t_full = _fit_bd_plan_tile(
@@ -698,14 +698,15 @@ def resolve_stats_fn(
     ):
         return _pallas_grouped_fn(tile_g, group_g, strict=strict)
     tile1 = _fit_tile(n_genes, k, tile_b, 1) if tile is None and k >= 32 else None
-    # bd-plan next: the block-diagonal E-step between the XLA gather and
-    # the plan scatter is G-FLAT at ~167M upd/s (K=10/S=10) down to
-    # 124-138M at G=100k — faster than hybrid (78-104M) and the
-    # per-restart plan path (85-113M) everywhere both run (round-4
-    # crossover sweep; round 3's runtime fault did not reproduce in 8
-    # runs).  Its S^2*K^3 operands cap the ensemble width; wider
-    # ensembles and stepwise (reshuffled rows can't carry a whole-dataset
-    # scatter plan) fall through to hybrid / per-restart plan below.
+    # The plan family next: the block-diagonal E-step between the XLA
+    # gather and the plan scatter is G-FLAT — since round 5 served by the
+    # g1-FUSED bdg kernel (position-1 gather/scatter fused as block-local
+    # one-hot matmuls: 162M at G=10k, 140M at G=100k vs bd-plan's
+    # 143.6M/123.8M same-session) — faster than hybrid (78-104M) and the
+    # per-restart plan path (85-113M) everywhere both run.  Its S^2*K^3
+    # operands cap the per-call ensemble width (wider ensembles run bdg
+    # over restart groups); stepwise (reshuffled rows can't carry a
+    # whole-dataset plan) falls through to hybrid / per-restart plan.
     tile_bd = None
     if (
         tile is None
