@@ -171,6 +171,89 @@ def test_grouped_bdg_matches_jnp():
             )
 
 
+def test_bdg_sharded_two_data_shards_matches_jnp():
+    """bdg through the production sharded step on a (data=2) CPU mesh:
+    per-shard g1 plans + 2-position scatter plans must psum to the same
+    stats as the unsharded jnp reference (the multi-chip contract)."""
+    from trigenicinteractionpredictor_tpu.ops.dispatch import _BDG_WB1  # noqa: F401
+    from trigenicinteractionpredictor_tpu.parallel.mesh import make_mesh
+    from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+        make_sharded_multi_step,
+        replicate,
+        shard_batch,
+        shard_ensemble,
+    )
+    import functools as ft
+
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+        bdg_em_ensemble_stats,
+    )
+
+    n, g, k, r, s, tile, wb1, d_sh = 512, 48, 3, 2, 2, 64, 16, 2
+    ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=r, seed=7)
+    plan = make_g1_plan(np.asarray(ds.triplets), g, wb1=wb1, tile=tile,
+                        n_shards=d_sh)
+    trip, rat, wts = apply_g1_order(
+        plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+        np.asarray(ds.weights), n_shards=d_sh,
+    )
+    splan = make_scatter_plan(trip, g, n_shards=d_sh, wb=wb1, tile=tile,
+                              positions=(1, 2))
+    mesh = make_mesh(data=d_sh, ensemble=1)
+    batch = shard_batch(
+        mesh,
+        Batch(
+            triplets=jnp.asarray(trip),
+            ratings=jnp.asarray(rat),
+            weights=jnp.asarray(wts),
+            scatter_perm=jnp.asarray(splan.perm),
+            scatter_lid=jnp.asarray(splan.lid),
+            scatter_block=jnp.asarray(splan.block),
+            g1_lid=jnp.asarray(plan.lid1),
+            g1_block=jnp.asarray(plan.blk1),
+        ),
+    )
+    fn = ft.partial(
+        bdg_em_ensemble_stats, tile_b=tile, wb1=wb1,
+        n_blocks1=plan.n_blocks, wb=wb1, n_blocks=splan.n_blocks,
+    )
+    fn.ensemble = True
+    from trigenicinteractionpredictor_tpu.models.mmsbm import ModelState
+
+    thetas, ps = _stack_states(g, k, r, s, seed=3)
+    states0 = shard_ensemble(mesh, ModelState(theta=thetas, p=ps))
+    degrees = replicate(mesh, jnp.asarray(ds.degrees()))
+    step = make_sharded_multi_step(mesh, 2, stats_fn=fn)
+    new_states, ll = step(states0, batch, degrees)
+
+    # unsharded jnp reference: two chained sweeps
+    from trigenicinteractionpredictor_tpu.parallel.mesh import (
+        single_device_mesh,
+    )
+
+    mesh1 = single_device_mesh()
+    ref_batch = shard_batch(
+        mesh1,
+        Batch(
+            triplets=jnp.asarray(ds.triplets),
+            ratings=jnp.asarray(ds.ratings),
+            weights=jnp.asarray(ds.weights),
+        ),
+    )
+    ref_states0 = shard_ensemble(mesh1, ModelState(theta=thetas, p=ps))
+    ref_step = make_sharded_multi_step(mesh1, 2)
+    ref_states, ref_ll = ref_step(
+        ref_states0, ref_batch, replicate(mesh1, jnp.asarray(ds.degrees()))
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_states.theta), np.asarray(ref_states.theta),
+        rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ll), np.asarray(ref_ll), rtol=1e-4
+    )
+
+
 def test_g1_plan_roundtrip():
     rng = np.random.default_rng(0)
     trip = rng.integers(0, 100, size=(300, 3), dtype=np.int32)
