@@ -320,9 +320,11 @@ _LARGE_G_WB = 512
 # body while block-run padding stays tolerable.
 _BDG_WB1 = 512
 
-# bdr vs bd-plan crossover (measured K=10/S=10/N=131k, 2026-08-20): bdr
-# 193M at G=4000 vs bd-plan's G-flat 167M; bdr 135M at G=6000.
-_BDR_BD_PLAN_CROSSOVER_G = 5000
+# bdr vs plan-family crossover (re-measured same-session vs the round-5
+# bdg champion, K=10/S=10/N=131k, 2026-08-21): bdr 195M vs bdg 174M at
+# G=3000, a tie at G=4000 (170.1M vs 169.0M), bdg ahead from G=5000
+# (164.4M vs 148.8M; 164.9M vs 123.2M at 6000).
+_BDR_BD_PLAN_CROSSOVER_G = 4500
 
 
 def large_kernel_fits(
