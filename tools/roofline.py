@@ -72,6 +72,11 @@ def path_overhead_flops(path: str, g: int, k: int, s: int, wb: int | None) -> fl
         # so overcompute is 14*S*K^3 per restart-update, plus the sorted-
         # stream scatter's 6 wb K (same as the plan path).
         return 14.0 * s * k**3 + 6.0 * (wb or 512) * k
+    if path == "bdg":
+        # bd-plan's stages + position-1's fused block-local gather AND
+        # scatter (2 x 2*wb1*SK per row / S) replacing a third of the
+        # scatter stream; wb defaults to the g1 block width 512.
+        return 14.0 * s * k**3 + 4.0 * (wb or 512) * k + 4.0 * 512 * k / s
     raise ValueError(path)
 
 
@@ -101,6 +106,10 @@ def path_hbm_bytes(path: str, g: int, k: int, s: int, wb: int | None) -> float:
     if path in ("plan", "bd-plan"):
         # th gather (w+r) + s-stream write + perm-gather (r+w) + scatter read.
         return row_in + (2 * 3 + 3 + 3 * 2 + 3) * sk * 4 / s
+    if path == "bdg":
+        # Position 1 rides VMEM blocks (round 5): 2 of 3 th gathers, 2 of
+        # 3 s-streams, 2B of 3B perm-gather + scatter slots.
+        return row_in + (2 * 2 + 2 + 2 * 2 + 2) * sk * 4 / s
     raise ValueError(path)
 
 
@@ -138,7 +147,10 @@ def analyze(rec: dict) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--from-jsonl", help="kernel_race.py output file")
-    ap.add_argument("--path", choices=["onehot", "hybrid", "plan", "bdr", "bd-plan"])
+    ap.add_argument(
+        "--path",
+        choices=["onehot", "hybrid", "plan", "bdr", "bd-plan", "bdg"],
+    )
     ap.add_argument("--g", type=int)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--s", type=int, default=10)
