@@ -254,6 +254,40 @@ def test_bdg_sharded_two_data_shards_matches_jnp():
     )
 
 
+def test_bdg_strict_equals_fast_in_interpret():
+    """strict=True changes numerics only on real MXU hardware; interpret
+    mode (CPU f32) must be exactly the fast path (same contract as the
+    other kernel families, test_backend_dispatch strict parity)."""
+    n, g, k, s, tile, wb1 = 512, 40, 3, 2, 64, 16
+    ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=2, seed=0)
+    thetas, ps = _stack_states(g, k, 2, s, seed=1)
+    plan = make_g1_plan(np.asarray(ds.triplets), g, wb1=wb1, tile=tile)
+    trip, rat, wts = apply_g1_order(
+        plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+        np.asarray(ds.weights),
+    )
+    splan = make_scatter_plan(trip, g, wb=wb1, tile=tile, positions=(1, 2))
+    batch = Batch(
+        triplets=jnp.asarray(trip), ratings=jnp.asarray(rat),
+        weights=jnp.asarray(wts),
+        scatter_perm=jnp.asarray(splan.perm),
+        scatter_lid=jnp.asarray(splan.lid),
+        scatter_block=jnp.asarray(splan.block),
+        g1_lid=jnp.asarray(plan.lid1),
+        g1_block=jnp.asarray(plan.blk1),
+    )
+    kw = dict(tile_b=tile, wb1=wb1, n_blocks1=plan.n_blocks, wb=wb1,
+              n_blocks=splan.n_blocks, interpret=True)
+    fast = bdg_em_ensemble_stats(thetas, ps, batch, **kw)
+    strict = bdg_em_ensemble_stats(thetas, ps, batch, strict=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fast.theta_hat), np.asarray(strict.theta_hat), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.loglik), np.asarray(strict.loglik), rtol=1e-6
+    )
+
+
 def test_g1_plan_roundtrip():
     rng = np.random.default_rng(0)
     trip = rng.integers(0, 100, size=(300, 3), dtype=np.int32)
