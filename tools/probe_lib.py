@@ -173,6 +173,122 @@ def probe_bdr(
     return rec
 
 
+def probe_bdg(
+    n, g, k, s, tile, wb1=512, group=0, strict=False,
+    alarm=420, sweeps=20, reps=3, chunk=10,
+):
+    """Compile + time the g1-fused bdg path (round-5 large-G default)
+    through the production chained step.  ``group``: 0 = one whole-S
+    call; >0 = lax.map over restart groups (the wide-S wrapper)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.ops.em import Batch
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_bdg import (
+        apply_g1_order,
+        bdg_em_ensemble_stats,
+        make_g1_plan,
+    )
+    from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+        make_scatter_plan,
+    )
+    from trigenicinteractionpredictor_tpu.parallel.mesh import (
+        single_device_mesh,
+    )
+    from trigenicinteractionpredictor_tpu.parallel.sharded_em import (
+        make_sharded_multi_step,
+        replicate,
+        shard_batch,
+    )
+
+    rec = dict(n=n, G=g, K=k, S=s, tile=tile, wb1=wb1, group=group,
+               strict=strict, label="bdg" if not group else f"bdg-g{group}")
+    try:
+        ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=2, seed=0)
+        mesh = single_device_mesh()
+        degrees = replicate(mesh, jnp.asarray(ds.degrees()))
+        plan = make_g1_plan(np.asarray(ds.triplets), g, wb1=wb1, tile=tile)
+        trip, rat, wts = apply_g1_order(
+            plan, np.asarray(ds.triplets), np.asarray(ds.ratings),
+            np.asarray(ds.weights),
+        )
+        splan = make_scatter_plan(trip, g, wb=512, tile=tile,
+                                  positions=(1, 2))
+        batch = shard_batch(
+            mesh,
+            Batch(
+                triplets=jnp.asarray(trip),
+                ratings=jnp.asarray(rat),
+                weights=jnp.asarray(wts),
+                scatter_perm=jnp.asarray(splan.perm),
+                scatter_lid=jnp.asarray(splan.lid),
+                scatter_block=jnp.asarray(splan.block),
+                g1_lid=jnp.asarray(plan.lid1),
+                g1_block=jnp.asarray(plan.blk1),
+            ),
+        )
+        call = functools.partial(
+            bdg_em_ensemble_stats, tile_b=tile, wb1=wb1,
+            n_blocks1=plan.n_blocks, wb=512, n_blocks=splan.n_blocks,
+            strict=strict,
+        )
+        if not group:
+            fn = functools.partial(call)
+            fn.ensemble = True
+        else:
+            def fn(thetas, ps, b, precision=None):
+                Sw = thetas.shape[0]
+                n_full = Sw // group
+                rem = Sw % group
+                outs = []
+                if n_full:
+                    th_g = thetas[: n_full * group].reshape(
+                        n_full, group, *thetas.shape[1:]
+                    )
+                    p_g = ps[: n_full * group].reshape(
+                        n_full, group, *ps.shape[1:]
+                    )
+                    st = jax.lax.map(
+                        lambda tp: call(tp[0], tp[1], b), (th_g, p_g)
+                    )
+                    outs.append(jax.tree.map(
+                        lambda x: x.reshape(n_full * group, *x.shape[2:]),
+                        st,
+                    ))
+                if rem:
+                    outs.append(
+                        call(thetas[n_full * group:], ps[n_full * group:], b)
+                    )
+                if len(outs) == 1:
+                    return outs[0]
+                return jax.tree.map(
+                    lambda a, b2: jnp.concatenate([a, b2], 0), *outs
+                )
+            fn.ensemble = True
+        states0 = make_states(mesh, g, k, s)
+        step = make_sharded_multi_step(mesh, chunk, stats_fn=fn)
+        best, ll = with_alarm(
+            alarm, time_step, step, states0, batch, degrees,
+            sweeps=sweeps, chunk=chunk, reps=reps,
+        )
+        rec.update(
+            ok=True,
+            ms_per_sweep=round(best / sweeps * 1e3, 3),
+            upd_per_s=round(n * s * sweeps / best),
+            final_ll=ll,
+            pad_rows=int(plan.n_rows - n),
+        )
+    except ProbeTimeout as e:
+        rec.update(ok=False, error="timeout", detail=str(e))
+    except Exception as e:
+        rec.update(ok=False, error=type(e).__name__, detail=str(e)[:500])
+    return rec
+
+
 def probe_bd_plan(n, g, k, s, tile, alarm=420, sweeps=20, reps=1, chunk=10):
     """Compile + time the bd-plan path (block-diag E-step + plan scatter)
     through the production chained step."""
