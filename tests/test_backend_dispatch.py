@@ -269,7 +269,11 @@ def test_auto_dispatch_table_on_tpu(monkeypatch):
         # batch, so it keeps the plan path.
         (100_000, 10, 10, "bdg"),
         (100_000, 10, 1, "plan"),
-        (500_000, 10, 10, "bdg"),       # no G ceiling on any plan path
+        # Very large G: bdg's per-block padding swamps the fused win
+        # (G=500k/N=131k: 91% pad rows, 47.3M vs bd-plan's 67.6M) —
+        # dispatch falls back to the unpadded bd-plan path there
+        # (_bdg_pad_ok; no G ceiling on either plan path).
+        (500_000, 10, 10, "bd-plan"),
         (30_000, 10, 10, "bdg"),        # between hybrid ceiling and 100k
         # Wide-S large-G: restart-grouped bdg (188.7M at S=50/G=10k/g=10
         # vs the round-4 bd-plan-grouped 172M).

@@ -231,7 +231,11 @@ def test_fit_dispatches_bd_plan_past_crossover(tmp_path):
     )
     from trigenicinteractionpredictor_tpu.train.trainer import fit
 
-    ds, _, _ = sample_synthetic_dataset(1500, 5200, 4, n_ratings=2, seed=3)
+    # N large enough relative to G that bdg's block-run padding stays
+    # under the dispatch bound (_bdg_pad_ok); a tiny-N/large-G shape
+    # correctly falls back to the unpadded bd-plan path instead (the
+    # G=500k case in test_auto_dispatch_table_on_tpu pins that side).
+    ds, _, _ = sample_synthetic_dataset(4200, 5200, 4, n_ratings=2, seed=3)
 
     def cfg(backend):
         return Config(

@@ -320,6 +320,20 @@ _LARGE_G_WB = 512
 # body while block-run padding stays tolerable.
 _BDG_WB1 = 512
 
+# bdg's g1 plan pads every gene-block run to a tile multiple, so pad rows
+# grow ~ n_blocks1 * tile/2 — at G >> N*wb1/tile the padding swamps the
+# fused-gather win and the UNPADDED bd-plan path wins again (measured at
+# G=500k/N=131k: bd-plan 67.6M vs bdg 47.3M with 91% pad rows; at
+# G=100k/14% pad bdg still wins 140M vs 124M).  Prefer bdg only while the
+# expected pad fraction stays under this bound.
+_BDG_MAX_PAD_FRAC = 0.25
+
+
+def _bdg_pad_ok(n_genes: int, tile: int, n_rows: int) -> bool:
+    n_eff = n_rows or 131072  # production assumption when N unknown
+    pad_est = -(-n_genes // _BDG_WB1) * (tile // 2)
+    return pad_est <= _BDG_MAX_PAD_FRAC * n_eff
+
 # bdr vs plan-family crossover (re-measured same-session vs the round-5
 # bdg champion, K=10/S=10/N=131k, 2026-08-21): bdr 195M vs bdg 174M at
 # G=3000, a tie at G=4000 (170.1M vs 169.0M), bdg ahead from G=5000
@@ -773,11 +787,17 @@ def resolve_stats_fn(
             return _pallas_hybrid_fn(tile_h, strict=strict)
         if tile_bd is not None:
             t_bd, g_bd = tile_bd
+            fused = _bdg_pad_ok(n_genes, t_bd, n_rows)
             if g_bd == n_samples:
                 # Full-S: the g1-fused bdg path (round-5 winner, see
-                # _pallas_bdg_plan_fn) replaces the plain bd-plan call.
-                return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
-            return _grouped_bd_plan_fn(t_bd, n_genes, g_bd, strict=strict)
+                # _pallas_bdg_plan_fn) replaces the plain bd-plan call —
+                # unless its block-run padding would swamp the win.
+                if fused:
+                    return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
+                return _pallas_bd_plan_fn(t_bd, n_genes, strict=strict)
+            return _grouped_bd_plan_fn(
+                t_bd, n_genes, g_bd, strict=strict, g1_fused=fused
+            )
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes, strict=strict)
         if tile_brg is not None:
@@ -802,9 +822,14 @@ def resolve_stats_fn(
             return _pallas_hybrid_fn(tile_h, strict=strict)
         if tile_bd is not None:
             t_bd, g_bd = tile_bd
+            fused = _bdg_pad_ok(n_genes, t_bd, n_rows)
             if g_bd == n_samples:
-                return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
-            return _grouped_bd_plan_fn(t_bd, n_genes, g_bd, strict=strict)
+                if fused:
+                    return _pallas_bdg_plan_fn(t_bd, n_genes, strict=strict)
+                return _pallas_bd_plan_fn(t_bd, n_genes, strict=strict)
+            return _grouped_bd_plan_fn(
+                t_bd, n_genes, g_bd, strict=strict, g1_fused=fused
+            )
         if tile_lg is not None:
             return _pallas_large_fn(tile_lg, n_genes, strict=strict)
         if tile_brg is not None:
