@@ -187,6 +187,11 @@ def _probe_result(
         ok = _probe_bdg_plan(dev, n, g, k, trip, ratings, weights,
                              theta_np, p_np, cpu)
     if ok and platform == "tpu" and arity == 3:
+        # The plain bd-plan path stays dispatchable (very-large-G
+        # fallback past the bdg pad bound) — probe it too.
+        ok = _probe_bd_plan(dev, n, g, k, trip, ratings, weights,
+                            theta_np, p_np, cpu)
+    if ok and platform == "tpu" and arity == 3:
         # The stepwise mid-G dispatch default: probe at a G past the
         # one-hot family's ceiling so the probe exercises the same
         # envelope regime that dispatches hybrid in production.
@@ -321,6 +326,73 @@ def _probe_bdg_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
     # noise, which the lane-vs-reference checks bound at _TOL either way.
     return _check("bdg-plan[0]", lane0, cpu) and _check(
         "bdg-plan[1]", lane1, cpu
+    )
+
+
+def _probe_bd_plan(dev, n, g, k, trip, ratings, weights, theta_np, p_np, cpu):
+    """Probe the plain bd-plan path (block-diag E-step + 3-position plan
+    scatter) — the very-large-G fallback past the bdg pad bound."""
+    from trigenicinteractionpredictor_tpu.ops.em import Batch
+
+    try:  # plumbing
+        from trigenicinteractionpredictor_tpu.ops.dispatch import (
+            _fit_bd_plan_tile,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_bd import (
+            bd_em_ensemble_stats,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_em_large import (
+            make_scatter_plan,
+        )
+
+        tile_bd = _fit_bd_plan_tile(k, 256, 2, n_genes=g, n_rows=n)
+        if tile_bd is None:
+            return True
+        arity = trip.shape[1]
+        pad_n = -(-n // tile_bd) * tile_bd
+        trip_p = np.zeros((pad_n, arity), np.int32)
+        trip_p[:n] = trip
+        rat_p = np.zeros(pad_n, np.int32)
+        rat_p[:n] = ratings
+        w_p = np.zeros(pad_n, np.float32)
+        w_p[:n] = weights
+        plan = make_scatter_plan(trip_p, g, n_shards=1, wb=256, tile=tile_bd)
+        n_blocks = -(-g // 256)
+        dev_args = [
+            jax.device_put(jnp.asarray(a), dev)
+            for a in (theta_np, p_np, trip_p, rat_p, w_p)
+        ]
+        pl_args = [
+            jax.device_put(jnp.asarray(a), dev)
+            for a in (plan.perm, plan.lid, plan.block)
+        ]
+    except Exception as e:
+        warnings.warn(
+            f"integrity probe [bd-plan] plumbing failed, skipped: {e!r}"
+        )
+        return True
+
+    def run_bd(th, p, b):
+        return bd_em_ensemble_stats(
+            jnp.stack([th, th]), jnp.stack([p, p]), b,
+            tile_b=tile_bd, wb=256, n_blocks=n_blocks, interpret=False,
+        )
+
+    try:  # compute
+        out2 = jax.jit(
+            lambda th, p, t, rr, w, sp, sl, sb: run_bd(
+                th, p,
+                Batch(t, rr, w, scatter_perm=sp, scatter_lid=sl,
+                      scatter_block=sb),
+            )
+        )(*dev_args, *pl_args)
+        lane0 = [np.asarray(x)[0] for x in out2]
+        lane1 = [np.asarray(x)[1] for x in out2]
+    except Exception as e:
+        warnings.warn(f"integrity probe [bd-plan] kernel raised: {e!r}")
+        return False
+    return _check("bd-plan[0]", lane0, cpu) and _check(
+        "bd-plan[1]", lane1, cpu
     )
 
 
