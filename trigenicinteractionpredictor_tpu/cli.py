@@ -98,7 +98,18 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
         "--stream-groups", type=int, default=0,
         help="stepwise streaming: minibatches per device dispatch (0 = "
         "whole epoch at once); keeps only one group in HBM for datasets "
-        "bigger than device memory",
+        "bigger than device memory (two with --stream-prefetch, the "
+        "default)",
+    )
+    sub.add_argument(
+        "--no-stream-prefetch", action="store_true",
+        help="disable the one-group-lookahead prefetch (strict one-group "
+        "HBM residency; host prep serializes with device compute)",
+    )
+    sub.add_argument(
+        "--stream-prep-workers", type=int, default=0,
+        help="streaming host-prep process pool: 0 = auto (pool only with "
+        "spare cores), 1 = in-thread, N >= 2 = pool of N spawn workers",
     )
     sub.add_argument(
         "--anneal-beta0", type=float, default=1.0,
@@ -179,6 +190,8 @@ def _make_config(args, n_folds: int = 1):
             minibatch=getattr(args, "minibatch", 0),
             stepwise_kappa=getattr(args, "kappa", 0.6),
             stream_groups=getattr(args, "stream_groups", 0),
+            stream_prefetch=not getattr(args, "no_stream_prefetch", False),
+            stream_prep_workers=getattr(args, "stream_prep_workers", 0),
             anneal_beta0=getattr(args, "anneal_beta0", 1.0),
             anneal_sweeps=getattr(args, "anneal_sweeps", 0),
             refine_rounds=getattr(args, "refine_rounds", 0),
