@@ -396,12 +396,12 @@ def cmd_synth(args) -> int:
         seed=args.seed,
         arity=args.arity,
     )
-    ds.save_npz(args.out)
+    written = ds.save_npz(args.out)
     if args.ground_truth:
         np.savez(args.ground_truth, theta=theta, p=p)
     print(
         json.dumps(
-            {"out": args.out, "n": ds.n_rows, "genes": ds.n_genes, "k": args.k}
+            {"out": written, "n": ds.n_rows, "genes": ds.n_genes, "k": args.k}
         )
     )
     return 0

@@ -188,7 +188,10 @@ class TripletDataset:
         )
 
     # ------------------------------------------------------------------
-    def save_npz(self, path: str) -> None:
+    def save_npz(self, path: str) -> str:
+        """Write the packed container; returns the ACTUAL path written
+        (np.savez appends ``.npz`` to names that lack it — returning the
+        real name keeps CLI output and chained ``-f`` usage truthful)."""
         np.savez_compressed(
             path,
             triplets=self.triplets,
@@ -198,6 +201,7 @@ class TripletDataset:
             n_ratings=np.int32(self.n_ratings),
             gene_names=np.array(self.gene_names or [], dtype=object),
         )
+        return path if path.endswith(".npz") else path + ".npz"
 
     def save_dir(self, path: str) -> None:
         """Save as raw .npy files — the memory-mappable on-disk layout for
