@@ -106,9 +106,77 @@ def test_serve_predict_matches_ensemble():
     want = np.asarray(
         ensemble_predict_interaction(states, jnp.asarray(ds.triplets))
     )
+    # fast path (round 5: restart-batched scorer, DEFAULT precision — on
+    # CPU that is full f32, so only op-order noise separates them)
     got = serve_predict_interaction(states, ds.triplets, block_rows=256)
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+    # bit-stable path
+    got_slow = serve_predict_interaction(
+        states, ds.triplets, block_rows=256, fast=False
+    )
+    np.testing.assert_allclose(got_slow, want, rtol=1e-6, atol=1e-7)
     # single-state (non-ensemble) form
     st1 = init_state(jax.random.key(1), 40, 4, 2)
     got1 = serve_predict_interaction(st1, ds.triplets, block_rows=300)
     assert got1.shape == (1000,)
+
+
+def test_pallas_scoring_kernel_matches_loop():
+    """The fused serving kernel (interpret mode) == the per-restart loop
+    scorer, including non-tile-multiple row counts (padding dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.pallas_score import (
+        pallas_ensemble_predict_interaction,
+        score_kernel_fits,
+    )
+    from trigenicinteractionpredictor_tpu.ops.scoring import (
+        ensemble_predict_interaction,
+    )
+
+    ds, _, _ = sample_synthetic_dataset(777, 40, 4, seed=9)  # ragged B
+    keys = jax.random.split(jax.random.key(1), 3)
+    states = jax.vmap(lambda k: init_state(k, 40, 4, 2))(keys)
+    assert score_kernel_fits(40, 4, 3)
+    trips = jnp.asarray(ds.triplets)
+    want = np.asarray(ensemble_predict_interaction(states, trips))
+    got = np.asarray(
+        pallas_ensemble_predict_interaction(
+            states, trips, tile_b=128, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_batched_ensemble_scorer_matches_loop():
+    """The restart-batched scorer == the per-restart loop scorer (same
+    math, one dot_general) at f32 tolerance, trigenic and with HIGHEST
+    precision exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.scoring import (
+        ensemble_predict_interaction,
+        ensemble_predict_interaction_batched,
+    )
+
+    ds, _, _ = sample_synthetic_dataset(700, 30, 5, seed=2)
+    keys = jax.random.split(jax.random.key(3), 4)
+    states = jax.vmap(lambda k: init_state(k, 30, 5, 2))(keys)
+    trips = jnp.asarray(ds.triplets)
+    want = np.asarray(ensemble_predict_interaction(states, trips))
+    got = np.asarray(
+        ensemble_predict_interaction_batched(
+            states, trips, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

@@ -78,22 +78,68 @@ def ensemble_predict_interaction(
     return jnp.mean(scores, axis=0)
 
 
+def ensemble_predict_interaction_batched(
+    states: ModelState,
+    triplets: jax.Array,
+    interact_rating: int = 1,
+    precision=None,
+) -> jax.Array:
+    """Sample-averaged P(interact) with the restart axis BATCHED into one
+    dot_general instead of a per-restart loop (the serving fast path).
+
+    The per-restart scoring matmul is [B, K^2] x [K^2, K*R] — contraction
+    and output dims of 100 and 20 at the production K=10, latency-bound
+    on the MXU exactly like the pre-bdr E-step loop (BASELINE.md round
+    3).  Batching the S restarts into one [S, B, K^2] x [S, K^2, K*R]
+    dot_general amortizes the invocation cost; DEFAULT precision (None)
+    runs the MXU single-pass, which perturbs ranking scores by ~1e-3 —
+    irrelevant to AUC at ensemble scale (the eval paths keep the
+    HIGHEST-precision per-restart scorer for bit-stable records).
+    Measured on-chip vs the loop scorer in BASELINE.md round 5.
+    """
+    theta, p = states.theta, states.p   # [S, G, K], [S, K, K, K, R]
+    S, _, K = theta.shape
+    R = p.shape[-1]
+    B = triplets.shape[0]
+    th1 = jnp.take(theta, triplets[:, 0], axis=1)   # [S, B, K]
+    th2 = jnp.take(theta, triplets[:, 1], axis=1)
+    th3 = jnp.take(theta, triplets[:, 2], axis=1)
+    W = (th1[:, :, :, None] * th2[:, :, None, :]).reshape(S, B, K * K)
+    A = jax.lax.dot_general(
+        W, p.reshape(S, K * K, K * R),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).reshape(S, B, K, R)
+    probs = jnp.einsum("sbkr,sbk->sbr", A, th3, precision=precision)
+    return jnp.mean(probs[:, :, interact_rating], axis=0)
+
+
 def serve_predict_interaction(
     states: ModelState,
     triplets,
     interact_rating: int = 1,
     block_rows: int = 131072,
+    fast: bool = True,
+    blocks_per_dispatch: int = 8,
 ):
-    """Chained-dispatch ensemble scoring for large inputs (numpy in/out).
+    """High-throughput ensemble scoring for large inputs (numpy in/out).
 
-    Serving through the axon relay is dispatch/sync-bound, not compute-
-    bound: one synchronized call pays ~25 ms of relay round-trip while the
-    compute itself is ~3 ms per 131k rows (BASELINE.md round 1).  This path
-    jits ONE fixed block shape, dispatches every block back-to-back without
-    synchronizing, and fetches results only after the whole queue is in
-    flight — the trick previously buried in the bench, productized for
-    ``cmd_predict`` (VERDICT round 1 item 7).  The tail block is padded to
-    the block shape so a single executable serves any input length.
+    Round-5 serving measurements (BASELINE.md): the jnp ensemble scorer
+    is COMPUTE-bound at ~4.9M rows/s (S=10), the fused Pallas scoring
+    kernel (ops/pallas_score.py) runs the same distribution at 56-62M
+    rows/s, and on the axon relay the remaining end-to-end cost is the
+    host<->device link itself (~50 MB/s).  This harness therefore (1)
+    dispatches the kernel on TPU when it fits (``fast``; falls back to
+    the restart-batched DEFAULT-precision jnp scorer, then the
+    HIGHEST-precision loop scorer with ``fast=False``), and (2) groups
+    ``blocks_per_dispatch`` fixed-shape blocks into ONE transfer + ONE
+    lax.map dispatch per super-chunk, fetching results only after the
+    whole queue is enqueued.  Everything compiles to a single executable
+    (tails are padded), so any input length serves warm.
+
+    ``fast`` scores shift ~1e-3 relative (single-pass MXU), immaterial
+    for ranking; ``fast=False`` is bit-stable with the eval path.
     """
     import numpy as np
 
@@ -106,22 +152,51 @@ def serve_predict_interaction(
         states.theta.ndim == 3
     )  # restart-stacked states -> sample-averaged scores
 
-    @jax.jit
-    def score_block(th, p, tr):
-        st = ModelState(theta=th, p=p)
+    trigenic = trips.shape[1] == 3
+    use_kernel = False
+    if fast and trigenic and ensemble and jax.default_backend() == "tpu":
+        from trigenicinteractionpredictor_tpu.ops.pallas_score import (
+            score_kernel_fits,
+        )
+
+        S, G, K = states.theta.shape
+        use_kernel = score_kernel_fits(G, K, S)
+
+    def score_block(st, tr):
         if ensemble:
+            if use_kernel:
+                from trigenicinteractionpredictor_tpu.ops.pallas_score import (
+                    pallas_ensemble_predict_interaction,
+                )
+
+                return pallas_ensemble_predict_interaction(
+                    st, tr, interact_rating, interpret=False
+                )
+            if fast and trigenic:
+                return ensemble_predict_interaction_batched(
+                    st, tr, interact_rating
+                )
             return ensemble_predict_interaction(st, tr, interact_rating)
         return predict_interaction(st, tr, interact_rating)
 
+    M = max(1, blocks_per_dispatch)
+
+    @jax.jit
+    def score_chunk(th, p, tb):       # tb: [M, block, arity]
+        st = ModelState(theta=th, p=p)
+        return jax.lax.map(lambda t: score_block(st, t), tb)
+
+    # Pad to whole super-chunks so ONE executable serves any length; the
+    # waste is at most M-1 block computes on the tail (~2 ms each).
+    n_blocks = -(-n // block)
+    n_chunks = -(-n_blocks // M)
+    padded = np.zeros((n_chunks * M * block, trips.shape[1]), trips.dtype)
+    padded[:n] = trips
+    chunks = padded.reshape(n_chunks, M, block, trips.shape[1])
+
     th = jnp.asarray(states.theta)
     p = jnp.asarray(states.p)
-    outs = []
-    for lo in range(0, n, block):
-        chunk = trips[lo : lo + block]
-        if chunk.shape[0] < block:  # pad the tail to the compiled shape
-            pad = np.zeros((block - chunk.shape[0], chunk.shape[1]), chunk.dtype)
-            chunk = np.concatenate([chunk, pad])
-        outs.append(score_block(th, p, jnp.asarray(chunk)))
+    outs = [score_chunk(th, p, jnp.asarray(c)) for c in chunks]
     # One sync for the whole chain: convert after everything is enqueued.
-    flat = np.concatenate([np.asarray(o) for o in outs])
+    flat = np.concatenate([np.asarray(o).reshape(-1) for o in outs])
     return flat[:n]
