@@ -65,11 +65,12 @@ def _code_fingerprint() -> str:
     import trigenicinteractionpredictor_tpu.ops.pallas_em_hybrid as hy_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_large as lg_mod
     import trigenicinteractionpredictor_tpu.ops.pallas_em_rsorted as rs_mod
+    import trigenicinteractionpredictor_tpu.ops.pallas_score as sc_mod
 
     h = hashlib.sha256()
     for mod in (
         em_mod, pk_mod, bd_mod, bdg_mod, bdr_mod, bdrg_mod, hy_mod,
-        lg_mod, rs_mod,
+        lg_mod, rs_mod, sc_mod,
     ):
         with open(mod.__file__, "rb") as fh:
             h.update(fh.read())
@@ -199,7 +200,75 @@ def _probe_result(
     if ok and platform == "tpu" and arity == 3:
         # The K>50 dispatch default (grid-streamed restart groups).
         ok = _probe_bdrg(dev, r, arity)
+    if ok and platform == "tpu" and arity == 3:
+        # The serving kernel (ops/pallas_score.py): its output IS the
+        # user-visible prediction, so a silent miscompile here matters as
+        # much as one in training.
+        ok = _probe_score(dev, g, k, r, trip, theta_np, p_np)
     return ok
+
+
+def _probe_score(dev, g, k, r, trip, theta_np, p_np):
+    """Probe the fused scoring kernel against the HIGHEST-precision jnp
+    loop scorer on a 2-restart ensemble of distinct states."""
+    try:  # plumbing
+        from trigenicinteractionpredictor_tpu.models.mmsbm import (
+            ModelState, init_state,
+        )
+        from trigenicinteractionpredictor_tpu.ops.pallas_score import (
+            pallas_ensemble_predict_interaction,
+            score_kernel_fits,
+        )
+        from trigenicinteractionpredictor_tpu.ops.scoring import (
+            ensemble_predict_interaction,
+        )
+
+        if not score_kernel_fits(g, k, 2):
+            return True
+        st2 = init_state(jax.random.key(7), g, k, r, arity=3)
+        thetas = np.stack([theta_np, np.asarray(st2.theta)])
+        ps = np.stack([p_np, np.asarray(st2.p)])
+        states = ModelState(
+            theta=jax.device_put(jnp.asarray(thetas), dev),
+            p=jax.device_put(jnp.asarray(ps), dev),
+        )
+        trips_d = jax.device_put(jnp.asarray(trip[:4096]), dev)
+        cpu_dev = jax.devices("cpu")[0]
+        states_c = ModelState(
+            theta=jax.device_put(jnp.asarray(thetas), cpu_dev),
+            p=jax.device_put(jnp.asarray(ps), cpu_dev),
+        )
+        want = np.asarray(
+            ensemble_predict_interaction(
+                states_c, jax.device_put(jnp.asarray(trip[:4096]), cpu_dev)
+            )
+        )
+    except Exception as e:
+        warnings.warn(
+            f"integrity probe [score] plumbing failed, skipped: {e!r}"
+        )
+        return True
+
+    try:  # compute
+        got = np.asarray(
+            jax.jit(
+                lambda st, tr: pallas_ensemble_predict_interaction(
+                    st, tr, interpret=False
+                )
+            )(states, trips_d)
+        )
+    except Exception as e:
+        warnings.warn(f"integrity probe [score] kernel raised: {e!r}")
+        return False
+    # Probabilities are O(1); absolute tolerance covers the single-pass
+    # MXU rounding (measured 1.1e-3 max on-chip).
+    if float(np.abs(got - want).max()) > 5e-3:
+        warnings.warn(
+            "integrity probe mismatch [score]: "
+            f"max|acc-cpu|={np.abs(got - want).max():.4g}"
+        )
+        return False
+    return True
 
 
 def _probe_bdr(dev, g, k, r, trip, ratings, weights, theta_np, p_np, cpu):
