@@ -66,6 +66,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         "throughput measurement (the axon relay's first compile varies "
         "1.5-516s with load, which is not a perf regression)",
     )
+    ap.add_argument(
+        "--serve", action="store_true",
+        help="measure the SERVING path instead: device-resident ensemble "
+        "scoring rows/s through the fused scoring kernel "
+        "(ops/pallas_score.py); prints its own JSON metric line",
+    )
     return ap.parse_args(argv)
 
 
@@ -266,8 +272,83 @@ def measure_baseline(args) -> float:
     return tps
 
 
+def measure_serving(args) -> None:
+    """Device-resident ensemble-scoring rows/s via the fused kernel
+    (ops/pallas_score.py) — the serving hot path; BASELINE.md round 5."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "TIP_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/trigenic_tpu_jax"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from trigenicinteractionpredictor_tpu.data.synthetic import (
+        sample_synthetic_dataset,
+    )
+    from trigenicinteractionpredictor_tpu.models.mmsbm import init_state
+    from trigenicinteractionpredictor_tpu.ops.pallas_score import (
+        _fit_score_tile,
+        pallas_ensemble_predict_interaction,
+    )
+    from trigenicinteractionpredictor_tpu.ops.scoring import (
+        ensemble_predict_interaction,
+    )
+
+    n, g, k, s = args.n, args.genes, args.k, args.samples
+    ds, _, _ = sample_synthetic_dataset(n, g, k, n_ratings=R, seed=0)
+    keys = jax.random.split(jax.random.key(0), s)
+    states = jax.vmap(lambda kk: init_state(kk, g, k, R))(keys)
+    trips = jnp.asarray(ds.triplets)
+    serve_tile = _fit_score_tile(g, k, s)
+    on_kernel = serve_tile is not None and jax.default_backend() == "tpu"
+    if on_kernel:
+        fn = jax.jit(
+            lambda st, tr: pallas_ensemble_predict_interaction(
+                st, tr, tile_b=serve_tile, interpret=False
+            )
+        )
+    else:  # CPU / oversize fallback — still a valid serving measurement
+        fn = jax.jit(lambda st, tr: ensemble_predict_interaction(st, tr))
+    log(f"serving scorer: {'pallas kernel' if on_kernel else 'jnp'}")
+    out = fn(states, trips)
+    jax.block_until_ready(out)
+    if args.warm_only:
+        print(json.dumps({"metric": "warm_only", "value": 1, "unit": "cache"}))
+        return
+    best = float("inf")
+    reps, inner = 3, 20
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(states, trips)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    rows = n / best
+    log(f"serving: {n} rows x {s} restarts in {best*1e3:.2f} ms "
+        f"-> {rows:,.0f} rows/s/chip (device-resident)")
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_serving_rows_per_sec_per_chip",
+                "value": round(rows, 1),
+                "unit": "rows/s",
+                "vs_baseline": 0.0,
+                "shape": {"n": n, "g": g, "k": k, "s": s},
+            }
+        )
+    )
+
+
 def main() -> None:
     args = parse_args()
+    if args.serve:
+        measure_serving(args)
+        return
     engine_tps = measure_engine(args)
     if args.warm_only:
         print(json.dumps({"metric": "warm_only", "value": 1, "unit": "cache"}))

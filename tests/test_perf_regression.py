@@ -197,6 +197,18 @@ def test_time_to_converged_auc(which):
         )
 
 
+def test_serving_throughput():
+    """Device-resident ensemble-scoring rows/s through the fused serving
+    kernel (ops/pallas_score.py, round 5): >= 0.7x the record.  Guards
+    the serving hot path — a silent fall-through to the jnp scorer is an
+    ~11x cliff (4.9M vs 56M rows/s measured)."""
+    result, stderr = _run_bench("serving_s10_k10")
+    assert "serving scorer: pallas kernel" in stderr, (
+        f"serving did not dispatch the fused kernel:\n{stderr[-1000:]}"
+    )
+    _assert_floor(result["value"], "serving_s10_k10", stderr)
+
+
 def test_wide_large_g_throughput():
     """S=50 x G=10000 (grouped bd-plan, round 4): the wide-S large-G band
     previously fell to the jnp path (~5M upd/s); the restart-grouped

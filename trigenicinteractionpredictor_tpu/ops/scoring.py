@@ -156,11 +156,11 @@ def serve_predict_interaction(
     use_kernel = False
     if fast and trigenic and ensemble and jax.default_backend() == "tpu":
         from trigenicinteractionpredictor_tpu.ops.pallas_score import (
-            score_kernel_fits,
+            _fit_score_tile,
         )
 
         S, G, K = states.theta.shape
-        use_kernel = score_kernel_fits(G, K, S)
+        use_kernel = _fit_score_tile(G, K, S) is not None
 
     def score_block(st, tr):
         if ensemble:
